@@ -1,0 +1,173 @@
+package graft.core
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic text fingerprints for dedup at scale: word shingles,
+  * MinHash signatures (LSH-banded), 64-bit SimHash, and winnowed rolling-hash
+  * document fingerprints. All seeds are fixed so signatures are identical
+  * across executors, runs, and parallelism levels.
+  */
+object Fingerprint {
+
+  val DefaultNumPerm = 64
+  val DefaultBands = 16 // 16 bands x 4 rows
+
+  /** Lowercased word tokens (letters+digits runs). */
+  def words(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** k-word shingle hashes (64-bit via two murmur32 passes with distinct seeds). */
+  def shingles(text: String, k: Int = 3): Array[Long] = {
+    val ws = words(text)
+    if (ws.length < k) {
+      if (ws.isEmpty) Array.empty
+      else Array(hash64(ws.mkString(" ")))
+    } else {
+      val out = new Array[Long](ws.length - k + 1)
+      var i = 0
+      while (i + k <= ws.length) {
+        val sb = new StringBuilder
+        var j = i
+        while (j < i + k) { sb.append(ws(j)); sb.append(' '); j += 1 }
+        out(i) = hash64(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  def hash64(s: String): Long = {
+    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  // Fixed odd multipliers/addends derived from a splitmix64 stream seeded 42.
+  private val (permA, permB): (Array[Long], Array[Long]) = {
+    var state = 42L
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(256)(next() | 1L)
+    val b = Array.fill(256)(next())
+    (a, b)
+  }
+
+  /** MinHash signature of a shingle set. */
+  def minhash(sh: Array[Long], numPerm: Int = DefaultNumPerm): Array[Long] = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val x = sh(i)
+      var p = 0
+      while (p < numPerm) {
+        val h = permA(p) * x + permB(p)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: hash of each band's rows — equal band key ⇒ candidate pair. */
+  def bandKeys(sig: Array[Long], bands: Int = DefaultBands): Array[Long] = {
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L
+      var r = b * rows
+      while (r < (b + 1) * rows) { h = 31 * h + sig(r); r += 1 }
+      out(b) = (b.toLong << 56) ^ (h & 0x00ffffffffffffffL)
+      b += 1
+    }
+    out
+  }
+
+  /** Estimated Jaccard from two signatures. */
+  def estimatedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Exact Jaccard over shingle sets. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** 64-bit SimHash over word unigrams weighted by frequency. */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    val ws = words(text)
+    var i = 0
+    while (i < ws.length) {
+      val h = hash64(ws(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash blocking keys: split 64 bits into `blocks` segments; two hashes
+    * within hamming distance < blocks share at least one block key
+    * (pigeonhole) — groupBy any key to get candidate pairs.
+    */
+  def simhashBlocks(h: Long, blocks: Int = 4): Array[Long] = {
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    Array.tabulate(blocks)(b => (b.toLong << 60) | ((h >>> (b * width)) & mask))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): char k-gram
+    * rolling hashes, min per window with rightmost tie-break.
+    */
+  def winnow(text: String, k: Int = 8, window: Int = 4): Vector[Long] = {
+    val n = text.length
+    if (n < k) return if (n == 0) Vector.empty else Vector(hash64(text))
+    val hashes = new Array[Long](n - k + 1)
+    val Base = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + text.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i + k <= n) {
+      h = (h - text.charAt(i - 1) * pow) * Base + text.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = Vector.newBuilder[Long]
+    var lastPicked = -1
+    i = 0
+    while (i + window <= hashes.length) {
+      var minIdx = i
+      var j = i
+      while (j < i + window) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != lastPicked) { out += hashes(minIdx); lastPicked = minIdx }
+      i += 1
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,277 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Jsoup-free streaming HTML boilerplate stripper.
+  *
+  * A single-pass tag tokenizer segments the page into text blocks at
+  * block-level tag boundaries, tracking per-block link-character counts and
+  * source offsets. Blocks are then classified content vs boilerplate with
+  * text-density / link-density heuristics in the spirit of Boilerpipe
+  * (Kohlschütter et al., WSDM'10) and trafilatura — built from scratch for
+  * this engine; the reference SDK ingests OCR output and has no HTML stage.
+  *
+  * Output contract: `extract(html).text` is a pure function of the input
+  * bytes — byte-identical across runs, partitionings and parallelism levels
+  * (the engine's per-url invariant). Block provenance spans point back into
+  * the raw HTML source so downstream span math stays char-exact.
+  */
+object Html {
+
+  /** One text block with provenance. `srcStart/srcEnd` delimit the HTML
+    * source region the block text came from; `linkChars` counts characters
+    * inside `<a>` elements; `headingLevel` is 1-6 for h1-h6 else 0.
+    */
+  final case class Block(
+      text: String,
+      linkChars: Int,
+      headingLevel: Int,
+      inList: Boolean,
+      srcStart: Int,
+      srcEnd: Int,
+  ) {
+    def words: Int = { var n = 0; var in = false; var i = 0
+      while (i < text.length) { val ws = text.charAt(i) == ' '
+        if (!ws && !in) { n += 1; in = true } else if (ws) in = false
+        i += 1 }
+      n
+    }
+    def linkDensity: Double = if (text.isEmpty) 0.0 else linkChars.toDouble / text.length
+  }
+
+  /** Extraction result: main text, per-block spans into `text`, and
+    * per-block provenance spans into the HTML source.
+    */
+  final case class Extraction(text: String, blockSpans: Vector[Span], provenance: Vector[Span], title: String)
+
+  private val blockTags = Set(
+    "p", "div", "section", "article", "main", "aside", "header", "footer", "nav",
+    "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "table", "tr", "td", "th",
+    "blockquote", "pre", "br", "hr", "form", "figure", "figcaption", "dl", "dt", "dd")
+  private val rawTextTags = Set("script", "style", "noscript", "svg", "template")
+  private val skipSubtreeTags = Set("head")
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™", "shy" -> "",
+    "laquo" -> "«", "raquo" -> "»", "euro" -> "€", "deg" -> "°",
+    "szlig" -> "ß", "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü",
+    "Auml" -> "Ä", "Ouml" -> "Ö", "Uuml" -> "Ü",
+  )
+
+  /** Decode HTML entities; unknown entities are kept verbatim. */
+  def decodeEntities(s: String): String = {
+    val amp = s.indexOf('&')
+    if (amp < 0) return s
+    val sb = new StringBuilder(s.length)
+    sb.append(s.substring(0, amp))
+    var i = amp
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try { sb.appendAll(Character.toChars(Integer.parseInt(body.substring(2), 16))); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else if (body.startsWith("#")) {
+            try { sb.appendAll(Character.toChars(Integer.parseInt(body.substring(1)))); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else namedEntities.get(body) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private final class BlockBuilder {
+    val sb = new StringBuilder
+    var linkChars = 0
+    var headingLevel = 0
+    var inList = false
+    var srcStart: Int = -1
+    var srcEnd: Int = -1
+    var pendingSpace = false
+
+    def appendText(t: String, inLink: Boolean, src: Int, srcTo: Int): Unit = {
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (Character.isWhitespace(c)) { if (sb.nonEmpty) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); if (inLink) linkChars += 1; pendingSpace = false }
+          sb.append(c)
+          if (inLink) linkChars += 1
+        }
+        i += 1
+      }
+      if (sb.nonEmpty) {
+        if (srcStart < 0) srcStart = src
+        srcEnd = srcTo
+      }
+    }
+
+    def build(): Option[Block] = {
+      val t = sb.toString
+      if (t.isEmpty) None
+      else Some(Block(t, linkChars, headingLevel, inList, math.max(srcStart, 0), math.max(srcEnd, 0)))
+    }
+  }
+
+  /** Tokenize the HTML into text blocks (single pass, no DOM allocation). */
+  def blocks(html: String): Vector[Block] = {
+    val out = Vector.newBuilder[Block]
+    var cur = new BlockBuilder
+    var linkDepth = 0
+    var listDepth = 0
+    var skipDepth = 0 // inside <head>
+    var title = false
+    var i = 0
+    val n = html.length
+
+    def flush(): Unit = { cur.build().foreach(out += _); cur = new BlockBuilder }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          val close = html.indexOf('>', i)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close)
+            val isEnd = inner.startsWith("/")
+            val raw = if (isEnd) inner.substring(1) else inner
+            val nameEnd0 = raw.indexWhere(ch => Character.isWhitespace(ch) || ch == '/' || ch == '>')
+            val name = (if (nameEnd0 < 0) raw else raw.substring(0, nameEnd0)).toLowerCase
+            if (rawTextTags.contains(name) && !isEnd) {
+              // consume raw text until matching close tag
+              val endTag = "</" + name
+              var e = html.indexOf(endTag, close + 1)
+              var after = if (e < 0) n else html.indexOf('>', e)
+              if (e < 0 || after < 0) { i = n } else { i = after + 1 }
+            } else {
+              if (skipSubtreeTags.contains(name)) {
+                if (!isEnd) skipDepth += 1 else if (skipDepth > 0) skipDepth -= 1
+              }
+              if (name == "title") title = !isEnd && !title
+              if (name == "a") { if (!isEnd) linkDepth += 1 else if (linkDepth > 0) linkDepth -= 1 }
+              if (name == "ul" || name == "ol") { if (!isEnd) listDepth += 1 else if (listDepth > 0) listDepth -= 1 }
+              if (blockTags.contains(name)) {
+                flush()
+                // block boundary terminates inline anchors (browser-style
+                // recovery for unclosed <a> in the wild)
+                linkDepth = 0
+                if (!isEnd && name.length == 2 && name.charAt(0) == 'h' && name.charAt(1) >= '1' && name.charAt(1) <= '6')
+                  cur.headingLevel = name.charAt(1) - '0'
+                cur.inList = listDepth > 0
+              }
+              i = close + 1
+            }
+          }
+        }
+      } else {
+        val next = html.indexOf('<', i)
+        val end = if (next < 0) n else next
+        if (skipDepth == 0) {
+          val decoded = decodeEntities(html.substring(i, end))
+          cur.appendText(decoded, linkDepth > 0, i, end)
+          cur.inList = cur.inList || listDepth > 0
+        }
+        i = end
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Extract the document title (first `<title>` element text). */
+  def titleOf(html: String): String = {
+    val lower = html.toLowerCase
+    val s = lower.indexOf("<title")
+    if (s < 0) return ""
+    val open = lower.indexOf('>', s)
+    if (open < 0) return ""
+    val e = lower.indexOf("</title", open)
+    if (e < 0) return ""
+    decodeEntities(html.substring(open + 1, e)).trim.replaceAll("\\s+", " ")
+  }
+
+  private val MinContentWords = 8
+  private val MaxLinkDensity = 0.33
+
+  /** Content classification: a block is content when it has enough words and
+    * low link density; short blocks are promoted when sandwiched between
+    * content (Boilerpipe-style neighbor smoothing); headings survive when
+    * followed by content.
+    */
+  def classify(bs: Vector[Block]): Array[Boolean] = {
+    val n = bs.length
+    val content = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val b = bs(i)
+      content(i) = b.words >= MinContentWords && b.linkDensity <= MaxLinkDensity
+      i += 1
+    }
+    // promote headings directly preceding content
+    i = n - 2
+    while (i >= 0) {
+      if (!content(i) && bs(i).headingLevel > 0 && bs(i).linkDensity <= MaxLinkDensity && content(i + 1))
+        content(i) = true
+      i -= 1
+    }
+    // promote short low-link blocks sandwiched between content blocks
+    i = 1
+    while (i < n - 1) {
+      if (!content(i) && content(i - 1) && content(i + 1) &&
+        bs(i).linkDensity <= MaxLinkDensity && bs(i).words >= 2 && bs(i).headingLevel == 0)
+        content(i) = true
+      i += 1
+    }
+    content
+  }
+
+  /** Full extraction: classified content blocks joined by `\n`. */
+  def extract(html: String): Extraction = {
+    val bs = blocks(html)
+    val keep = classify(bs)
+    val sb = new StringBuilder
+    val spans = Vector.newBuilder[Span]
+    val prov = Vector.newBuilder[Span]
+    var first = true
+    var i = 0
+    while (i < bs.length) {
+      if (keep(i)) {
+        if (!first) sb.append('\n')
+        val start = sb.length
+        sb.append(bs(i).text)
+        spans += Span(start, sb.length)
+        prov += Span(bs(i).srcStart, bs(i).srcEnd)
+        first = false
+      }
+      i += 1
+    }
+    Extraction(sb.toString, spans.result(), prov.result(), titleOf(html))
+  }
+
+  /** Decode raw page bytes: honors a UTF-8 BOM, else UTF-8 (web default). */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      new String(bytes, 3, bytes.length - 3, java.nio.charset.StandardCharsets.UTF_8)
+    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.core
+
+/** Heuristic language identification: stopword + character n-gram profiles.
+  * Deterministic and dependency-free; designed for the web-scale text
+  * pipeline's lang column (the reference SDK receives `lang` from its OCR
+  * server and never computes it — this is a scale-pipeline addition).
+  */
+object LangId {
+
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "on", "are", "with", "as", "at", "this", "but", "by", "from", "they", "you", "have", "not", "be"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "eine", "mit", "für", "auf", "den", "von", "zu", "sich", "des", "im", "dem", "auch", "es", "an", "werden", "aus"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "que", "qui", "dans", "pour", "pas", "sur", "au", "avec", "ne", "se", "ce", "il", "sont", "par"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "es", "un", "una", "del", "que", "en", "por", "con", "no", "se", "su", "para", "como", "más", "pero", "sus", "le", "ha"),
+    "it" -> Set("il", "la", "di", "che", "e", "è", "un", "una", "per", "non", "sono", "con", "si", "del", "della", "le", "nel", "da", "al", "come", "dei", "anche", "più", "ma"),
+    "pt" -> Set("o", "a", "os", "as", "de", "e", "é", "um", "uma", "do", "da", "que", "em", "para", "não", "com", "se", "por", "mais", "dos", "como", "mas", "ao", "das"),
+    "nl" -> Set("de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn", "voor", "met", "die", "niet", "aan", "er", "om", "ook", "als", "maar", "bij", "dan", "uit", "naar"),
+  )
+
+  private val tokenSplit = "[^\\p{L}]+"
+
+  /** Score = stopword hits per language over the first `maxTokens` tokens;
+    * argmax with lexicographic tie-break; "und" (undetermined) when nothing
+    * scores or the text is CJK-dominant ("zh" for Han-dominant text).
+    */
+  def detect(text: String, maxTokens: Int = 200): String = {
+    if (text == null || text.isEmpty) return "und"
+    var han = 0; var total = 0
+    var i = 0
+    val lim = math.min(text.length, 4000)
+    while (i < lim) {
+      val c = text.charAt(i)
+      if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) han += 1
+      if (Character.isLetter(c)) total += 1
+      i += 1
+    }
+    if (total > 0 && han * 2 > total) return "zh"
+    val tokens = text.toLowerCase.split(tokenSplit).iterator.filter(_.nonEmpty).take(maxTokens).toArray
+    if (tokens.isEmpty) return "und"
+    var best = "und"; var bestScore = 0
+    profiles.toVector.sortBy(_._1).foreach { case (lang, words) =>
+      val score = tokens.count(words.contains)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    best
+  }
+}

@@ -1,0 +1,104 @@
+package graft.core
+
+/** Document quality scoring for training-data curation (Gopher/C4-style
+  * heuristics over plain text). Pure, deterministic; runs in mapPartitions.
+  */
+object Quality {
+
+  final case class Scores(
+      nChars: Int,
+      nTokens: Int,
+      meanTokenLen: Double,
+      digitRatio: Double,
+      upperRatio: Double,
+      punctRatio: Double,
+      stopwordRatio: Double,
+      maxLineRepeatRatio: Double,
+      bigramRepeatRatio: Double,
+      endsInPunctLineRatio: Double,
+  ) {
+    /** Composite score in [0,1]: simple monotone combination; a document is
+      * "keepable" when every sub-signal is in its healthy band.
+      */
+    def composite: Double = {
+      var s = 1.0
+      if (nTokens < 5) s *= 0.1
+      if (meanTokenLen < 2 || meanTokenLen > 12) s *= 0.5
+      if (digitRatio > 0.3) s *= 0.5
+      if (upperRatio > 0.3) s *= 0.7
+      if (stopwordRatio < 0.01) s *= 0.7
+      if (maxLineRepeatRatio > 0.3) s *= 0.5
+      if (bigramRepeatRatio > 0.3) s *= 0.5
+      s
+    }
+  }
+
+  private val enStop = Set("the", "and", "of", "to", "in", "a", "is", "that", "it", "for")
+
+  def score(text: String): Scores = {
+    if (text == null || text.isEmpty)
+      return Scores(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val n = text.length
+    var digits = 0; var uppers = 0; var puncts = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isDigit(c)) digits += 1
+      if (Character.isUpperCase(c)) uppers += 1
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) puncts += 1
+      i += 1
+    }
+    val tokens = text.split("[ \\n\\t\\f]+").filter(_.nonEmpty)
+    val nTok = tokens.length
+    val meanLen = if (nTok > 0) tokens.map(_.length.toDouble).sum / nTok else 0.0
+    val stopRatio = if (nTok > 0) tokens.count(t => enStop.contains(t.toLowerCase)).toDouble / nTok else 0.0
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val lineRepeat =
+      if (lines.isEmpty) 0.0
+      else {
+        val top = lines.groupBy(identity).valuesIterator.map(_.length).max
+        if (top > 1) top.toDouble / lines.length else 0.0
+      }
+    val bigrams = tokens.sliding(2).filter(_.length == 2).map(a => a(0) + " " + a(1)).toArray
+    val bigramRepeat =
+      if (bigrams.isEmpty) 0.0
+      else {
+        val top = bigrams.groupBy(identity).valuesIterator.map(_.length).max
+        if (top > 1) top.toDouble * 2 / bigrams.length else 0.0
+      }
+    val endPunct =
+      if (lines.isEmpty) 0.0
+      else lines.count(l => ".!?\"'".indexOf(l.trim.lastOption.getOrElse(' ')) >= 0).toDouble / lines.length
+    Scores(n, nTok, meanLen,
+      digits.toDouble / n, uppers.toDouble / n, puncts.toDouble / n,
+      stopRatio, lineRepeat, math.min(1.0, bigramRepeat), endPunct)
+  }
+
+  /** Whitespace token count — the cheap tokenizer-aligned counter (matches
+    * the `[^ \n\t\f]+` WhitespaceTokenizer match count).
+    */
+  def tokenCount(text: String): Int = {
+    var i = 0; var n = 0; var inTok = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val ws = c == ' ' || c == '\n' || c == '\t' || c == '\f'
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  private val bpeish = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+
+  /** BPE-flavored pre-tokenizer count (GPT-2-style split regex) — the token
+    * estimate a training pipeline budgets with.
+    */
+  def bpeTokenCount(text: String): Int = {
+    val m = bpeish.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+}

@@ -1,0 +1,162 @@
+package graft.core
+
+import java.util.regex.{Matcher, Pattern}
+
+/** Training-time regex induction: learn tokenizer patterns from annotated
+  * examples. Behavior mirrors konfuzio_sdk/regex.py:12-150 and the
+  * Annotation.tokens flow (konfuzio_sdk/data.py:1466-1482) — the suggested
+  * pattern strings are a byte-for-byte contract (they carry downstream group
+  * names).
+  */
+object RegexGen {
+
+  /** Custom escape set (regex.py:25-48). */
+  def escape(s: String): String =
+    s.replace("\\", "\\\\")
+      .replace("[", "\\[").replace("]", "\\]")
+      .replace("+", "[\\+]").replace("*", "\\*").replace("|", "\\|")
+      .replace("-", "[-]").replace(".", "\\.").replace("$", "\\$")
+      .replace("(", "\\(").replace(")", "\\)").replace("@", "\\@")
+      .replace("?", "\\?").replace("!", "\\!").replace(",", "\\,")
+      .replace("#", "\\#").replace("{", "\\{").replace("}", "\\}")
+
+  private val singleSpace = Pattern.compile("(?<! ) (?! )")
+  private val multiSpace = Pattern.compile(" {2,}")
+
+  /** Single space → `[ ]+`, runs → `[ ]{2,}` (regex.py:18-22). */
+  def harmonizeWhitespaces(s: String): String = {
+    val first = singleSpace.matcher(s).replaceAll(Matcher.quoteReplacement("[ ]+"))
+    multiSpace.matcher(first).replaceAll(Matcher.quoteReplacement("[ ]{2,}"))
+  }
+
+  /** OR-join tokens sorted by length desc into one non-capturing group
+    * (regex.py:12-15). Stable for equal lengths (input order preserved).
+    */
+  def mergeRegex(tokens: Seq[String]): String =
+    tokens.sortBy(t => -t.length).mkString("(?:", "|", ")")
+
+  private val capLetter = Pattern.compile("[A-ZÄÖÜ]")
+  private val capRun = Pattern.compile("(\\[A-ZÄÖÜ\\]){2,}")
+  private val lowLetter = Pattern.compile("[a-zäöüß]")
+  private val lowRun = Pattern.compile("(\\[a-zäöüß\\]){2,}")
+  private val digit = Pattern.compile("\\d")
+
+  /** Generalize a literal string into a candidate pattern (regex.py:80-101).
+    * `replaceCharacters` buckets letters into class runs; `replaceNumbers`
+    * maps each digit to `\d`; whitespace is harmonized; the result is
+    * plausibility-checked against the source string (must still match).
+    */
+  def suggestRegexForString(
+      s: String,
+      replaceCharacters: Boolean = false,
+      replaceNumbers: Boolean = true,
+  ): String = {
+    var r = escape(s)
+    if (replaceCharacters) {
+      r = capLetter.matcher(r).replaceAll(Matcher.quoteReplacement("[A-ZÄÖÜ]"))
+      r = capRun.matcher(r).replaceAll(Matcher.quoteReplacement("[A-ZÄÖÜ]+"))
+      r = lowLetter.matcher(r).replaceAll(Matcher.quoteReplacement("[a-zäöüß]"))
+      r = lowRun.matcher(r).replaceAll(Matcher.quoteReplacement("[a-zäöüß]+"))
+    }
+    if (replaceNumbers) r = digit.matcher(r).replaceAll(Matcher.quoteReplacement("\\d"))
+    plausibleRegex(harmonizeWhitespaces(r), s)
+  }
+
+  /** Compile + must-match-source check; empty string on failure (regex.py:51-77). */
+  def plausibleRegex(suggestion: String, source: String): String =
+    try {
+      val cp = CompiledPattern.compile(suggestion)
+      if (cp.pattern.matcher(source).find()) suggestion else ""
+    } catch { case _: Exception => "" }
+
+  /** The three candidate tokens per annotated span (data.py:1466-1482):
+    * W = whitespace-harmonized literal (quality 0), N = digits generalized
+    * (quality 1), F = fully generalized (quality 2). Group name encodes
+    * provenance: `Label_{labelId}_{W|N|F}_{annId}_{start}`.
+    */
+  final case class Token(regex: String, quality: Int)
+
+  def annotationTokens(offsetString: String, labelId: Long, annotationId: Long, start: Int): Vector[Token] = {
+    val w = suggestRegexForString(offsetString, replaceNumbers = false)
+    val nRep = suggestRegexForString(offsetString)
+    val f = suggestRegexForString(offsetString, replaceCharacters = true)
+    Vector(
+      Token(s"(?P<Label_${labelId}_W_${annotationId}_$start>$w)", 0),
+      Token(s"(?P<Label_${labelId}_N_${annotationId}_$start>$nRep)", 1),
+      Token(s"(?P<Label_${labelId}_F_${annotationId}_$start>$f)", 2),
+    )
+  }
+
+  private val groupNamePart = Pattern.compile("<.*?>")
+
+  /** Matcher identity with group names stripped — the dedup key used before
+    * expensive evaluation (data.py:1450-1464, 2240-2243).
+    */
+  def normalizedMatcher(regex: String): String =
+    groupNamePart.matcher(regex).replaceAll("")
+
+  /** Per-(regex, document) evaluation (data.py:2257-2313): run the pattern
+    * filtered to `Label_{id}` groups; a finding is correct when it matches a
+    * ground-truth span exactly; precision/recall/F1 over findings.
+    */
+  final case class RegexDocEval(
+      regex: String,
+      totalFindings: Int,
+      totalCorrectFindings: Int,
+      correctAnnotationIds: Set[Long],
+      annotationPrecision: Double,
+      annotationRecall: Double,
+      f1: Double,
+      runtimeMs: Long,
+  )
+
+  def evaluateRegexOnDoc(
+      text: String,
+      regex: String,
+      labelId: Long,
+      groundTruth: Seq[(Long, Span)], // (annotationId, span) for this label
+  ): RegexDocEval = {
+    val t0 = System.nanoTime()
+    val findings =
+      try Rx.matches(text, CompiledPattern.compile(regex), keepFullMatch = false, filteredGroup = Some(s"Label_$labelId"))
+      catch { case _: Exception => Vector.empty }
+    val runtime = (System.nanoTime() - t0) / 1000000
+    val gtBySpan = groundTruth.groupBy(_._2)
+    val correct = findings.flatMap(f => gtBySpan.getOrElse(Span(f.start, f.end), Nil))
+    val nAnn = groundTruth.map(_._1).distinct.size
+    val precision = if (findings.nonEmpty) correct.size.toDouble / findings.size else 0.0
+    val recall = if (nAnn > 0) correct.size.toDouble / nAnn else 0.0
+    val f1 = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
+    RegexDocEval(regex, findings.size, correct.size, correct.map(_._1).toSet, precision, recall, f1, runtime)
+  }
+
+  /** Aggregated stats for one candidate regex over a category's documents
+    * (data.py:688-768 flavor), input to the greedy cover.
+    */
+  final case class RegexStats(
+      regex: String,
+      totalCorrectFindings: Long,
+      f1: Double,
+      quality: Int,
+      annotationPrecision: Double,
+      runtime: Double,
+      correctFindingIds: Set[Long],
+  )
+
+  /** Greedy set cover over sorted candidates (regex.py:104-150): sort by
+    * (correct desc, f1 desc, quality desc, precision desc, runtime asc) and
+    * keep every regex that matches at least one annotation no earlier regex
+    * matched. Driver-side — stats are tiny after aggregation.
+    */
+  def bestRegex(stats: Seq[RegexStats]): Vector[String] = {
+    val sorted = stats.filter(_.f1 > 0).sortBy(s =>
+      (-s.totalCorrectFindings, -s.f1, -s.quality, -s.annotationPrecision, s.runtime))
+    var seen = Set.empty[Long]
+    val out = Vector.newBuilder[String]
+    sorted.foreach { s =>
+      val fresh = s.correctFindingIds.diff(seen)
+      if (fresh.nonEmpty) { out += s.regex; seen = seen.union(s.correctFindingIds) }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.WebCorpus
+
+class HtmlSpec extends AnyFunSuite {
+
+  test("entity decoding") {
+    assert(Html.decodeEntities("Tom &amp; Jerry &lt;3 &#65;&#x42; &nbsp;x &unknown; &") ==
+      "Tom & Jerry <3 AB  x &unknown; &")
+  }
+
+  test("blocks segment at block tags with link accounting") {
+    val html = "<html><body><p>Hello world one two</p><div><a href='/x'>nav link</a></div></body></html>"
+    val bs = Html.blocks(html)
+    assert(bs.length == 2)
+    assert(bs(0).text == "Hello world one two")
+    assert(bs(0).linkChars == 0)
+    assert(bs(1).text == "nav link")
+    assert(bs(1).linkChars == 8)
+    assert(bs(1).linkDensity == 1.0)
+  }
+
+  test("script/style/head content is excluded") {
+    val html = "<html><head><title>T</title><style>p{color:red}</style></head>" +
+      "<body><script>var x = '<p>not text</p>';</script><p>Real content here with enough words to count</p></body></html>"
+    val bs = Html.blocks(html)
+    assert(bs.map(_.text).mkString == "Real content here with enough words to count")
+    assert(Html.titleOf(html) == "T")
+  }
+
+  test("whitespace collapses inside blocks") {
+    val bs = Html.blocks("<p>  a\n   b\t c  </p>")
+    assert(bs.head.text == "a b c")
+  }
+
+  test("classification keeps long low-link blocks and drops nav") {
+    val html =
+      "<body><nav><a href='/'>home</a> | <a href='/a'>about</a> | <a href='/c'>contact</a></nav>" +
+      "<h1>A short heading here</h1>" +
+      "<p>This paragraph has clearly more than eight words of real sentence content in it.</p>" +
+      "<footer><a href='/t'>terms</a></footer></body>"
+    val ex = Html.extract(html)
+    assert(ex.text ==
+      "A short heading here\nThis paragraph has clearly more than eight words of real sentence content in it.")
+  }
+
+  test("provenance spans point into the html source") {
+    val html = "<body><p>Paragraph with quite a few ordinary words inside it today</p></body>"
+    val ex = Html.extract(html)
+    assert(ex.provenance.nonEmpty)
+    val Span(s, e) = ex.provenance.head
+    assert(html.substring(s, e) == "Paragraph with quite a few ordinary words inside it today")
+  }
+
+  test("extraction of the synthetic corpus is byte-identical to the embedded golden text") {
+    (0L until 50L).foreach { i =>
+      val page = WebCorpus.page(i)
+      val html = Html.decodeBytes(page.html)
+      val got = Html.extract(html).text
+      val want = WebCorpus.mainText(page.url)
+      assert(got == want, s"url ${page.url}")
+    }
+  }
+
+  test("extraction is deterministic (pure function of bytes)") {
+    val page = WebCorpus.page(7L)
+    val a = Html.extract(Html.decodeBytes(page.html)).text
+    val b = Html.extract(Html.decodeBytes(page.html)).text
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
