@@ -1,13 +1,593 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core._
+import graft.engine._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one query per implemented operator family (SURVEY §2),
+  * each with a DuckDB-equivalent oracle where SQL can express the semantics.
+  * Column names/types are aligned with the oracle SQL (the driver hashes
+  * columns by name); every result carries a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full extraction pipeline over the synthetic web corpus —
+    * html → boilerplate strip → tokenize → score → merge, zero shuffle.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Extraction.extractDF(spark, 200, 8)
+      .select($"url", length($"extracted_text").as("n_chars"), $"n_tokens",
+        size($"labels").as("n_labels"), $"text_sha256")
+      .orderBy($"url")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (Catalyst-optimized scans/joins/aggs) ----
+    "q01_pushdown_agg" -> ((s, dir) => {
+      // TPC-H Q1 flavor: filter pushed to parquet, partial aggs map-side
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_broadcast_join" -> ((s, dir) => {
+      // dim side broadcast explicitly — no shuffle of the fact table
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q03_shuffle_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    }),
+    "q04_filter_project" -> ((s, dir) => {
+      // predicate + projection pushdown (ReadSchema must shrink to 4 cols)
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+    "q05_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q06_anti_join" -> ((s, dir) => {
+      // U2 flavor: left-anti = customers without any large order
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q07_window_rank" -> ((s, dir) => {
+      // O3/O4 flavor: per-key ordered ranking
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+    "q08_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "q09_weighted_mode" -> ((s, dir) => {
+      // E3: confidence-weighted mode via custom Aggregator (UDAF surface)
+      import s.implicits._
+      val wm = udaf(new Evaluate.WeightedMode())
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(wm(col("user_id"), col("value")).as("mode_user"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- span algebra / evaluation (E1/E2 joins over derived spans) ----
+    "q10_compare_strict" -> ((s, dir) => {
+      // E1: full outer join on exact (doc, start, end)
+      val d = t(s, dir, "documents")
+      def chunks(stride: Int) = d
+        .select(col("doc_id"), explode(sequence(lit(0), col("n_chars") - 1, lit(stride))).as("cstart"), col("n_chars"))
+        .select(col("doc_id"), col("cstart"), least(col("cstart") + stride, col("n_chars")).as("cend"))
+      val a = chunks(100).withColumnRenamed("cstart", "s").withColumnRenamed("cend", "e")
+      val b = chunks(150).withColumnRenamed("cstart", "s").withColumnRenamed("cend", "e")
+        .withColumn("from_b", lit(1))
+      val joined = a.withColumn("from_a", lit(1))
+        .join(b, Seq("doc_id", "s", "e"), "outer")
+      joined.groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("from_a").isNotNull && col("from_b").isNotNull, 1).otherwise(0)).as("n_matched"),
+          sum(when(col("from_a").isNotNull && col("from_b").isNull, 1).otherwise(0)).as("n_a_only"),
+          sum(when(col("from_a").isNull && col("from_b").isNotNull, 1).otherwise(0)).as("n_b_only"))
+        .orderBy(col("doc_id"))
+    }),
+    "q11_compare_overlap" -> ((s, dir) => {
+      // E2: non-strict interval-overlap join (equi on doc + range predicate)
+      val d = t(s, dir, "documents")
+      def chunks(stride: Int, off: Int, idName: String) = d
+        .filter(col("n_chars") > off)
+        .select(col("doc_id").as(idName),
+          explode(sequence(lit(off), col("n_chars") - 1, lit(stride))).as("cstart"), col("n_chars"))
+        .select(col(idName), col("cstart"), least(col("cstart") + stride, col("n_chars")).as("cend"))
+      val a = chunks(100, 0, "doc_id")
+      val b = chunks(100, 50, "doc_id_b").withColumnRenamed("cstart", "bs").withColumnRenamed("cend", "be")
+      a.join(b, col("doc_id") === col("doc_id_b") && col("bs") <= col("cend") && col("be") >= col("cstart"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("doc_id"))
+    }),
+    "q12_token_count" -> ((s, dir) => {
+      // native codegen'd expression (T2 counter) — stays in WholeStageCodegen
+      t(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.token_count(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q13_line_stats" -> ((s, dir) => {
+      // T13 line splitter arithmetic (\n / \f contracts)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\n", "")) + 1).cast("long").as("n_lines"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\f", "")) + 1).cast("long").as("n_pages"),
+        length(col("text")).cast("long").as("len_check"))
+        .orderBy(col("doc_id"))
+    }),
+    "q26_missing_offsets" -> ((s, dir) => {
+      // F2: gap complement via the reference gap-walk (chunks at stride 250)
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars").cast("int"))
+        .as[(Long, Int)]
+        .mapPartitions(_.flatMap { case (docId, n) =>
+          val annotated = (0 until n by 250).map(k => Span(k, math.min(k + 100, n)))
+          TextOffsets.missingOffsets(0, n, annotated).map(sp => (docId, sp.start, sp.end))
+        })
+        .toDF("doc_id", "gap_start", "gap_end")
+        .select(col("doc_id"), col("gap_start").cast("long"), col("gap_end").cast("long"))
+        .orderBy(col("doc_id"), col("gap_start"))
+    }),
+
+    // ---- text analysis over documents ----
+    "q14_exact_dedup" -> ((s, dir) => {
+      // duplicated corpus guarantees non-trivial groups
+      val d = t(s, dir, "documents")
+      val doubled = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactGroups(doubled, "doc_id", "text").orderBy(col("text_hash"))
+    }),
+    "q15_quality_counts" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast("long").as("n_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_space"),
+        GraftFunctions.token_count(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "q16_langid" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) => (id, LangId.detect(text)) })
+        .toDF("doc_id", "lang_pred")
+        .orderBy(col("doc_id"))
+    }),
+    "q17_minhash_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val doubled = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .as[(Long, String)]
+      Dedup.minhashNearDups(doubled, 0.8).toDF()
+        .select(col("a"), col("b"), round(col("estimated_jaccard"), 6).as("estimated_jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+    "q18_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+    "q19_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard of consecutive doc pairs
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      val pairs = t(s, dir, "documents").select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(t(s, dir, "documents").select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .as[(Long, Long)].map { case (a, b) => Dedup.Pair(a, b) }
+      Dedup.exactJaccard(d, pairs).toDF()
+        .select(col("a"), col("b"), round(col("estimated_jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"))
+    }),
+
+    // ---- similarity search over embeddings ----
+    "q20_ann_bruteforce" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val queries = corpus.filter(_._1 < 10).collect().sortBy(_._1)
+      Similarity.bruteForceTopK(corpus, queries, 5).toDF()
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q21_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val queries = corpus.filter(_._1 < 10).collect().sortBy(_._1)
+      Similarity.lshTopK(corpus, queries, 5).toDF()
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q22_embedding_neardups" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val doubled = e.select(col("vec_id"), col("embedding"))
+        .union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.999)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---- extraction pipeline (flagship path over real tables) ----
+    "q23_extract_sha" -> ((s, dir) => {
+      // text-passthrough extraction: sha + token counts oracle-checkable
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => PageRow(id.toString, null, Array.empty[Byte], text, "") }
+      Extraction.extract(pages).toDF()
+        .select(col("url").cast("long").as("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("text_sha256"))
+        .orderBy(col("doc_id"))
+    }),
+    "q24_extract_entities" -> ((s, dir) => {
+      // full html path over the synthetic corpus; per-label counts
+      Extraction.extractDF(s, 200, 8)
+        .select(col("url"), explode(col("labels")).as("l"))
+        .groupBy(col("l.label").as("label"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("n_docs"))
+        .orderBy(col("label"))
+    }),
+    "q25_normalize_number" -> ((s, dir) => {
+      // N2 against an arithmetic oracle: German-formatted amounts round-trip
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .as[(Long, Int, Long)]
+        .mapPartitions(_.map { case (ok, ln, cents) =>
+          val german = s"${cents / 100},${"%02d".format(cents % 100)}"
+          (ok, ln, Normalize.normalizeToFloat(german).getOrElse(Double.NaN))
+        })
+        .toDF("l_orderkey", "l_linenumber", "normalized")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q27_normalize_date" -> ((s, dir) => {
+      // N4 against strftime oracle: DD.MM.YYYY → ISO
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "dd.MM.yyyy").as("german"))
+        .as[(Long, Int, String)]
+        .mapPartitions(_.map { case (ok, ln, g) => (ok, ln, Normalize.normalizeToDate(g).getOrElse("")) })
+        .toDF("l_orderkey", "l_linenumber", "iso_date")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q28_features" -> ((s, dir) => {
+      // X1 feature scalars of each doc's first token, vs regexp-count oracle
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tok = Rx.tokenSpans(text, Tokenizers.whitespace).headOption
+            .map(sp => text.substring(sp.start, sp.end)).getOrElse("")
+          (id, tok, tok.length.toLong, Features.digitCount(tok).toLong,
+            Features.vowelCount(tok).toLong, Features.upperCount(tok).toLong)
+        })
+        .toDF("doc_id", "first_token", "tok_len", "n_digit", "n_vowel", "n_upper")
+        .orderBy(col("doc_id"))
+    }),
+    "q29_sessionize" -> ((s, dir) => {
+      // stateful per-key sequential kernel (gaps-and-islands), 30-minute gap
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("tsec"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val times = it.map(_._2).toArray.sorted
+          var sessions = if (times.nonEmpty) 1L else 0L
+          var i = 1
+          while (i < times.length) {
+            if (times(i) - times(i - 1) > 1800) sessions += 1
+            i += 1
+          }
+          (uid, sessions, times.length.toLong)
+        }
+        .toDF("user_id", "n_sessions", "n_events")
+        .orderBy(col("user_id"))
+    }),
+    "q30_stream_window" -> ((s, dir) => {
+      // Structured Streaming surface: same aggregation as q08 via readStream
+      val schema = t(s, dir, "events").schema
+      // file-stream source requires a directory: stage the parquet file
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ → session-UTC event time
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      val qname = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname)
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "q31_view_annotations" -> ((s, dir) => {
+      // F3: greedy best non-overlapping candidates per doc (conf desc, start)
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars").cast("int")).as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val cands = (0 until n by 30).map { st =>
+            val sp = Span(st, math.min(st + 45, n))
+            (sp, 0.5 + 0.5 * (((st * 2654435761L) & 0xffff).toDouble / 65536.0))
+          }
+          val sorted = cands.sortBy { case (sp, c) => (-c, sp.start) }
+          var kept = Vector.empty[Span]
+          sorted.foreach { case (sp, _) => if (!kept.exists(_.overlaps(sp))) kept :+= sp }
+          (id, kept.length.toLong, cands.length.toLong)
+        })
+        .toDF("doc_id", "n_kept", "n_candidates")
+        .orderBy(col("doc_id"))
+    }),
+    "q32_regex_induction" -> ((s, dir) => {
+      // R3/R5: learned token patterns for each doc's first token
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tok = Rx.tokenSpans(text, Tokenizers.whitespace).headOption
+            .map(sp => text.substring(sp.start, sp.end)).getOrElse("")
+          val ts = RegexGen.annotationTokens(tok, labelId = 1, annotationId = id, start = 0)
+          (id, ts(0).regex, ts(1).regex, ts(2).regex)
+        })
+        .toDF("doc_id", "regex_w", "regex_n", "regex_f")
+        .orderBy(col("doc_id"))
+    }),
+    "q33_multimodal" -> ((s, dir) => {
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 500, 8)).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"), col("sha256"), col("frames_sampled"))
+        .orderBy(col("media_id"))
+    }),
+    "q34_geometry" -> ((s, dir) => {
+      // §2.13 layout kernels on a synthetic char grid
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val chars = Geometry.syntheticCharBoxes(text.take(500))
+          val lines = Geometry.lineBoxes(chars)
+          val merged = Geometry.mergedBoxes(chars)
+          (id, lines.length.toLong, merged.length.toLong)
+        })
+        .toDF("doc_id", "n_line_boxes", "n_merged_boxes")
+        .orderBy(col("doc_id"))
+    }),
+    "q35_eval_pipeline" -> ((s, dir) => {
+      // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val gt = d.select(col("doc_id"),
+        explode(sequence(lit(0), col("n_chars") - 1, lit(100))).as("start_offset"), col("n_chars"))
+        .select(col("doc_id"), col("start_offset"),
+          least(col("start_offset") + 100, col("n_chars")).as("end_offset"))
+        .withColumn("ann_id", col("doc_id") * 1000 + col("start_offset") / 100)
+        .withColumn("annotation_set_id", col("doc_id"))
+        .withColumn("label_id", (col("start_offset") / 100) % 3)
+        .withColumn("label_set_id", lit(1L))
+        .withColumn("is_correct", lit(true))
+        .withColumn("confidence", lit(1.0))
+        .withColumn("label_threshold", lit(0.1))
+    // predictions: drop chunks where (start/100) % 5 == 4, mislabel % 7 == 3
+      val pred = gt
+        .filter((col("start_offset") / 100) % 5 =!= 4)
+        .withColumn("label_id",
+          when((col("start_offset") / 100) % 7 === 3, lit(99L)).otherwise(col("label_id")))
+        .withColumn("is_correct", lit(false))
+        .withColumn("confidence", lit(0.9))
+      val flags = Evaluate.compareStrict(gt, pred)
+      Evaluate.summarize(flags, Seq(col("doc_id")))
+        .select(col("doc_id"), col("tp"), col("fp"), col("fn"), col("n_spans"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pushdown_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_broadcast_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 4) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_shuffle_join_agg" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q04_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q05_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_window_rank" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber
+        |FROM r WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q08_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q09_weighted_mode" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, sum(value) AS wsum
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY wsum DESC, user_id ASC) AS rn
+        |  FROM w)
+        |SELECT event_type, user_id AS mode_user FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q10_compare_strict" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |a AS (
+        |  SELECT doc_id, i * 100 AS s, least(i * 100 + 100, n_chars) AS e
+        |  FROM documents JOIN nums ON i * 100 < n_chars),
+        |b AS (
+        |  SELECT doc_id, i * 150 AS s, least(i * 150 + 150, n_chars) AS e
+        |  FROM documents JOIN nums ON i * 150 < n_chars)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CAST(count(CASE WHEN a.s IS NOT NULL AND b.s IS NOT NULL THEN 1 END) AS BIGINT) AS n_matched,
+        |  CAST(count(CASE WHEN a.s IS NOT NULL AND b.s IS NULL THEN 1 END) AS BIGINT) AS n_a_only,
+        |  CAST(count(CASE WHEN a.s IS NULL AND b.s IS NOT NULL THEN 1 END) AS BIGINT) AS n_b_only
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.s = b.s AND a.e = b.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_compare_overlap" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |a AS (
+        |  SELECT doc_id, i * 100 AS cstart, least(i * 100 + 100, n_chars) AS cend
+        |  FROM documents JOIN nums ON i * 100 < n_chars),
+        |b AS (
+        |  SELECT doc_id, 50 + i * 100 AS bs, least(50 + i * 100 + 100, n_chars) AS be
+        |  FROM documents JOIN nums ON 50 + i * 100 < n_chars)
+        |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND b.bs <= a.cend AND b.be >= a.cstart
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_token_count" ->
+      """SELECT doc_id, CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q13_line_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+        | CAST(length(text) - length(replace(text, chr(12), '')) + 1 AS BIGINT) AS n_pages,
+        | CAST(length(text) AS BIGINT) AS len_check
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_missing_offsets" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |gaps AS (
+        |  SELECT doc_id,
+        |    least(i * 250 + 100, n_chars) AS gap_start,
+        |    least(i * 250 + 250, n_chars) AS gap_end
+        |  FROM documents JOIN nums ON i * 250 < n_chars)
+        |SELECT doc_id, CAST(gap_start AS BIGINT) AS gap_start, CAST(gap_end AS BIGINT) AS gap_end
+        |FROM gaps WHERE gap_end > gap_start
+        |  AND NOT (gap_start = 100 AND gap_end = 101)
+        |ORDER BY doc_id, gap_start""".stripMargin,
+    "q14_exact_dedup" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |FROM doubled GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_quality_counts" ->
+      """SELECT doc_id,
+        | CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT qid, vec_id AS nid,
+        |        list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS c
+        |      FROM q, embeddings),
+        |r AS (SELECT qid, nid, c,
+        |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rn FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q23_extract_sha" ->
+      """SELECT doc_id,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(text) AS text_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_normalize_number" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100 AS normalized
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q27_normalize_date" ->
+      """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS iso_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q28_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, COALESCE(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')[1], '') AS tok
+        |  FROM documents)
+        |SELECT doc_id, tok AS first_token,
+        | CAST(length(tok) AS BIGINT) AS tok_len,
+        | CAST(length(tok) - length(regexp_replace(tok, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        | CAST(length(lower(tok)) - length(regexp_replace(lower(tok), '[aeiou]', '', 'g')) AS BIGINT) AS n_vowel,
+        | CAST(length(tok) - length(regexp_replace(tok, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q29_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch(ts) AS tsec,
+        |    lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
 }

@@ -63,7 +63,9 @@ object WebCorpus {
       if (j == 0) { sb.append(Character.toUpperCase(w.charAt(0))).append(w.substring(1)) }
       else sb.append(w)
       // sprinkle extractable entities: dates, amounts, percentages
+      if (j == 1 && r.nextInt(9) == 0) sb.append(" https://ref.example.com/doc/").append(r.nextInt(1000))
       if (j == 2 && r.nextInt(6) == 0) sb.append(" R&D")
+      if (j == 4 && r.nextInt(8) == 0) sb.append(" contact").append(r.nextInt(100)).append("@corp.example.com")
       if (j == 3 && r.nextInt(4) == 0) sb.append(" ").append(f"${1 + r.nextInt(28)}%02d.${1 + r.nextInt(12)}%02d.${1995 + r.nextInt(30)}")
       if (j == 5 && r.nextInt(4) == 0) sb.append(" ").append(s"${r.nextInt(9000) + 100},${10 + r.nextInt(89)} EUR")
       if (j == 6 && r.nextInt(5) == 0) sb.append(" ").append(s"${r.nextInt(99)},${10 + r.nextInt(89)} %")

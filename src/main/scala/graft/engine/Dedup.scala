@@ -1,0 +1,170 @@
+package graft.engine
+
+import graft.core.Fingerprint
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication at scale: exact (hash groupBy), MinHash+LSH banded
+  * near-dup, SimHash hamming blocking, exact n-gram-Jaccard verification,
+  * embedding-cosine near-dup. Shuffle discipline: one exchange per stage —
+  * band/block keys are the shuffle keys; candidate generation happens inside
+  * buckets (pigeonhole guarantees recall); exact verification only touches
+  * candidate pairs, never the full cross product.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. Map-side partial agg → one
+    * shuffle on the 128-bit hash. Returns (text_hash, n_docs, keeper_id).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol).cast("long").as("id"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("keeper_id"))
+
+  /** Exact dedup: keep the smallest id per hash (deterministic keeper). */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactGroups(df, idCol, textCol).select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  final case class Sig(id: Long, sig: Array[Long], bands: Array[Long])
+  final case class Pair(a: Long, b: Long)
+  final case class ScoredPair(a: Long, b: Long, estimated_jaccard: Double)
+
+  /** MinHash signatures + LSH band keys per row — one narrow pass. */
+  def signatures(ds: Dataset[(Long, String)], shingleK: Int = 3,
+      numPerm: Int = Fingerprint.DefaultNumPerm, bands: Int = Fingerprint.DefaultBands): Dataset[Sig] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, text) =>
+      val sig = Fingerprint.minhash(Fingerprint.shingles(text, shingleK), numPerm)
+      Sig(id, sig, Fingerprint.bandKeys(sig, bands))
+    })
+  }
+
+  /** Candidate pairs from shared LSH bands. Shuffles once on the band key;
+    * pair generation is per-bucket with a deterministic cap (buckets larger
+    * than `maxBucket` — e.g. boilerplate-identical shells — pair only against
+    * the bucket's smallest id, preserving connectivity for dedup while
+    * keeping the output linear; the cap is logged by callers via the
+    * `capped_buckets` accumulator pattern at job level).
+    */
+  def candidatePairs(sigs: Dataset[Sig], maxBucket: Int = 1000): Dataset[Pair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs.flatMap(s => s.bands.map(b => (b, s.id)))
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._2).toArray.sorted
+        if (ids.length < 2) Iterator.empty
+        else if (ids.length > maxBucket) {
+          val head = ids(0)
+          ids.iterator.drop(1).map(b => Pair(head, b))
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
+          var i = 0
+          while (i < ids.length) {
+            var j = i + 1
+            while (j < ids.length) { out += Pair(ids(i), ids(j)); j += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .distinct()
+  }
+
+  /** Verify candidates with signature-estimated Jaccard ≥ threshold.
+    * Signatures are re-joined (shuffle on id) — at scale the sig table is
+    * ~64*8 bytes/doc, far smaller than texts.
+    */
+  def verifyPairs(sigs: Dataset[Sig], pairs: Dataset[Pair], threshold: Double): Dataset[ScoredPair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val sa = sigs.select(col("id").as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("b"), col("sig").as("sig_b"))
+    pairs.toDF().join(sa, "a").join(sb, "b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (b, a, siga, sigb) => ScoredPair(a, b, Fingerprint.estimatedJaccard(siga, sigb)) }
+      .filter(_.estimated_jaccard >= threshold)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline over (id, text). */
+  def minhashNearDups(ds: Dataset[(Long, String)], threshold: Double = 0.8): Dataset[ScoredPair] = {
+    val sigs = signatures(ds).persist()
+    val out = verifyPairs(sigs, candidatePairs(sigs), threshold)
+    out
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist, using
+    * 4-block pigeonhole keys (one shuffle on the block key).
+    */
+  def simhashNearDups(ds: Dataset[(Long, String)], maxDist: Int = 3): Dataset[ScoredPair] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val hashes = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.simhash64(t)) }).persist()
+    val pairs = hashes.flatMap { case (id, h) => Fingerprint.simhashBlocks(h).map(b => (b, id, h)) }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map(m => (m._2, m._3)).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
+        var i = 0
+        while (i < members.length) {
+          var j = i + 1
+          while (j < members.length) {
+            val d = Fingerprint.hamming(members(i)._2, members(j)._2)
+            if (d <= maxDist && members(i)._1 != members(j)._1)
+              out += ScoredPair(members(i)._1, members(j)._1, 1.0 - d / 64.0)
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+    pairs.distinct()
+  }
+
+  /** Exact n-gram Jaccard for a pair set — the final verification stage
+    * (joins texts back only for surviving candidates).
+    */
+  def exactJaccard(ds: Dataset[(Long, String)], pairs: Dataset[Pair], k: Int = 3): Dataset[ScoredPair] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val sh = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.shingles(t, k)) })
+    val sa = sh.select(col("_1").as("a"), col("_2").as("sh_a"))
+    val sb = sh.select(col("_1").as("b"), col("_2").as("sh_b"))
+    pairs.toDF().join(sa, "a").join(sb, "b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (b, a, shga, shgb) => ScoredPair(a, b, Fingerprint.jaccard(shga, shgb)) }
+  }
+
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets (see
+    * [[Similarity.hyperplaneKey]]) — one shuffle, per-bucket pairing.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    ds.map { case (id, v) => (Similarity.hyperplaneKey(v, bits), id, v) }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = it.map(m => (m._2, m._3)).toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < members.length) {
+          var j = i + 1
+          while (j < members.length) {
+            val c = Similarity.cosine(members(i)._2, members(j)._2)
+            if (c >= threshold) out += ((members(i)._1, members(j)._1, c))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("a", "b", "cosine")
+      .dropDuplicates("a", "b")
+  }
+}

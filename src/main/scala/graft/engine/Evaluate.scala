@@ -1,0 +1,137 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Span-level evaluation (E1-E6), re-expressed as DataFrame joins and
+  * aggregations. Semantics mirror konfuzio_sdk/evaluate.py:46-165:
+  * strict = full outer join on exact (doc, start, end); non-strict = outer
+  * join on (doc, label_id, label_set_id) + interval overlap; group-elected
+  * ids via confidence-weighted mode; TP/FP/FN flags with the reference's
+  * exact boolean algebra. This is the engine's only shuffle-bearing stage —
+  * joins shuffle on doc-prefixed keys, aggregations are partial-agg friendly.
+  */
+object Evaluate {
+
+  /** Expected input columns for both sides (the eval_dict flat row,
+    * data.py:1004-1098): doc_id, ann_id, annotation_set_id, label_id,
+    * label_set_id, start_offset, end_offset, is_correct, confidence,
+    * label_threshold.
+    */
+  val evalCols: Seq[String] = Seq(
+    "doc_id", "ann_id", "annotation_set_id", "label_id", "label_set_id",
+    "start_offset", "end_offset", "is_correct", "confidence", "label_threshold")
+
+  /** Confidence-weighted mode with smallest-value tie-break (the
+    * sklearn.utils.extmath.weighted_mode contract used at evaluate.py:55).
+    */
+  class WeightedMode extends Aggregator[(Long, Double), Map[Long, Double], Long] {
+    def zero: Map[Long, Double] = Map.empty
+    def reduce(b: Map[Long, Double], a: (Long, Double)): Map[Long, Double] =
+      b.updated(a._1, b.getOrElse(a._1, 0.0) + a._2)
+    def merge(x: Map[Long, Double], y: Map[Long, Double]): Map[Long, Double] =
+      y.foldLeft(x) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0.0) + v) }
+    def finish(b: Map[Long, Double]): Long =
+      if (b.isEmpty) -1L else b.toVector.maxBy { case (k, v) => (v, -k) }._1
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Map[Long, Double]]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Elect the "correct" target id per group by confidence-weighted mode of
+    * eligible voters (above threshold ∧ matched), then flag equality
+    * (evaluate.py:46-70). Implemented with a groupBy + deterministic
+    * row_number pick instead of a per-row UDAF pass — shuffle-once, no
+    * per-group pandas-style apply.
+    */
+  private def electAndFlag(df: DataFrame, groupCol: String, targetCol: String): DataFrame = {
+    val eligible = df.filter(col("above_predicted_threshold") && col("is_matched"))
+    val votes = eligible
+      .filter(col(targetCol).isNotNull)
+      .groupBy(col(groupCol), col(targetCol))
+      .agg(sum(coalesce(col("confidence_predicted"), lit(1.0))).as("w"))
+    val pick = row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col("w").desc, col(targetCol).asc))
+    val elected = votes.withColumn("rn", pick).filter(col("rn") === 1)
+      .select(col(groupCol).as("g"), col(targetCol).as(s"elected_$targetCol"))
+    df.join(elected, df(groupCol) <=> elected("g"), "left")
+      .drop("g")
+      .withColumn(s"is_correct_$targetCol", col(targetCol) <=> col(s"elected_$targetCol"))
+  }
+
+  /** Strict compare (evaluate.py:88-103): full outer join on exact offsets. */
+  def compareStrict(gt: DataFrame, pred: DataFrame): DataFrame = {
+    val p = pred.columns.foldLeft(pred)((d, c) =>
+      if (Seq("doc_id", "start_offset", "end_offset").contains(c)) d else d.withColumnRenamed(c, c + "_predicted"))
+    val joined = gt.join(p, Seq("doc_id", "start_offset", "end_offset"), "outer")
+    flag(joined
+      .withColumn("is_matched", col("ann_id").isNotNull && col("ann_id_predicted").isNotNull)
+      .withColumn("start_offset_predicted", col("start_offset")) // join-key identity (evaluate.py:92-93)
+      .withColumn("end_offset_predicted", col("end_offset"))
+      .withColumn("above_predicted_threshold",
+        col("confidence_predicted") >= col("label_threshold_predicted")))
+  }
+
+  /** Non-strict compare (evaluate.py:104-121): join on (doc, label ids) with
+    * interval-overlap match.
+    */
+  def compareNonStrict(gt: DataFrame, pred: DataFrame): DataFrame = {
+    val p = pred.columns.foldLeft(pred)((d, c) =>
+      if (Seq("doc_id", "label_id", "label_set_id").contains(c)) d else d.withColumnRenamed(c, c + "_predicted"))
+    val joined = gt.join(p, Seq("doc_id", "label_id", "label_set_id"), "outer")
+    flag(joined
+      .withColumn("is_matched",
+        col("start_offset_predicted") <= col("end_offset") && col("end_offset_predicted") >= col("start_offset"))
+      .withColumn("above_predicted_threshold",
+        col("confidence_predicted") >= col("label_threshold_predicted"))
+      .withColumn("is_correct_label", lit(true))
+      .withColumn("is_correct_label_set", lit(true)))
+  }
+
+  /** TP/FP/FN flag algebra (evaluate.py:127-164). */
+  private def flag(joinedIn: DataFrame): DataFrame = {
+    var df = joinedIn
+    if (!df.columns.contains("is_correct_label"))
+      df = df
+        .withColumn("is_correct_label", col("label_id") <=> col("label_id_predicted"))
+        .withColumn("is_correct_label_set", col("label_set_id") <=> col("label_set_id_predicted"))
+    df = electAndFlag(df, "ann_id", "ann_id_predicted")
+      .withColumnRenamed("is_correct_ann_id_predicted", "is_correct_id")
+    df = electAndFlag(df, "annotation_set_id_predicted", "annotation_set_id")
+      .withColumnRenamed("is_correct_annotation_set_id", "is_correct_annotation_set")
+    val isMatched = coalesce(col("is_matched"), lit(false))
+    val above = coalesce(col("above_predicted_threshold"), lit(false))
+    val correct = coalesce(col("is_correct"), lit(false))
+    val allIdsOk = col("is_correct_label") && col("is_correct_label_set") &&
+      col("is_correct_annotation_set") && col("is_correct_id")
+    df.withColumn("true_positive", (isMatched && correct && above && allIdsOk).cast("int"))
+      .withColumn("false_negative", (correct && (!isMatched || !above)).cast("int"))
+      .withColumn("false_positive",
+        (above && col("false_negative") === 0 && col("true_positive") === 0 && !allIdsOk).cast("int"))
+      .withColumn("is_found_by_tokenizer",
+        (col("start_offset") <=> col("start_offset_predicted") &&
+          col("end_offset") <=> col("end_offset_predicted") && correct &&
+          col("ann_id_predicted").isNotNull).cast("int"))
+  }
+
+  final case class Calc(tp: Long, fp: Long, fn: Long, tn: Long) {
+    def precision: Option[Double] = if (tp + fp == 0) None else Some(tp.toDouble / (tp + fp))
+    def recall: Option[Double] = if (tp + fn == 0) None else Some(tp.toDouble / (tp + fn))
+    def f1: Option[Double] = if (tp + fp + fn == 0) None else Some(tp.toDouble / (tp + 0.5 * (fp + fn)))
+  }
+
+  /** Aggregate flags → counters (E6), optionally per extra grouping column. */
+  def summarize(flags: DataFrame, by: Seq[Column] = Nil): DataFrame =
+    flags.groupBy(by: _*).agg(
+      sum("true_positive").as("tp"),
+      sum("false_positive").as("fp"),
+      sum("false_negative").as("fn"),
+      sum("is_found_by_tokenizer").as("found_by_tokenizer"),
+      count(lit(1)).as("n_spans"))
+
+  def calc(flags: DataFrame): Calc = {
+    val r = summarize(flags).collect()(0)
+    val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp"); val fn = r.getAs[Long]("fn")
+    Calc(tp, fp, fn, r.getAs[Long]("n_spans") - tp - fp - fn)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.engine
+
+import graft.core.{Geometry, Normalize, Span}
+
+/** Horizontal/vertical extraction merging (M1-M4). Semantics mirror
+  * konfuzio_sdk/trainer/information_extraction.py:196-473:
+  * run-merge adjacent same-label extractions when the gap is ≤5 chars of
+  * spaces on the same line, with data-type-preserving rules (Text always,
+  * Number never, Date/Percentage only when the merged slice still
+  * normalizes); merged confidence is the buffer mean; text is the raw doc
+  * slice. Pure per-document sequential kernel — runs inside mapPartitions,
+  * zero shuffle.
+  */
+object Merge {
+
+  val MaxOffsetDistance = 5
+
+  private def gapIsSpaces(text: String, from: Int, to: Int): Boolean = {
+    if (to - from > MaxOffsetDistance) return false
+    var i = from
+    while (i < to) {
+      if (text.charAt(i) != ' ') return false
+      i += 1
+    }
+    true
+  }
+
+  private def sameLine(text: String, start: Int, end: Int): Boolean = {
+    var i = start
+    while (i < end) {
+      if (text.charAt(i) == '\n') return false
+      i += 1
+    }
+    true
+  }
+
+  /** is_valid_merge (information_extraction.py:239-328) for a buffer ending
+    * at `bufEnd` (buffer start `bufStart`) and candidate `row`.
+    */
+  private[engine] def isValidMerge(
+      text: String, bufStart: Int, bufEnd: Int, row: Scorer.Scored, dataType: String, threshold: Double): Boolean = {
+    if (row.confidence < threshold) return false
+    if (!gapIsSpaces(text, bufEnd, row.span.start)) return false
+    if (row.span.start - bufEnd > MaxOffsetDistance) return false
+    if (!sameLine(text, math.min(bufStart, row.span.start), math.max(bufEnd, row.span.end))) return false
+    dataType match {
+      case "Number" | "Positive Number" => false
+      case "Percentage" => Normalize.normalizeToPercentage(text.substring(bufStart, row.span.end)).isDefined
+      case "Date" => Normalize.normalizeToDate(text.substring(bufStart, row.span.end)).isDefined
+      case _ => true // Text & everything else merges freely
+    }
+  }
+
+  /** merge_df horizontal (information_extraction.py:421-473): sequential
+    * buffer scan per (document, label); rows must arrive sorted by start.
+    */
+  def mergeHorizontal(text: String, rowsIn: Seq[Scorer.Scored], threshold: Double = 0.0): Vector[Scorer.Scored] = {
+    val out = Vector.newBuilder[Scorer.Scored]
+    rowsIn.groupBy(_.label).toVector.sortBy(_._1).foreach { case (label, group) =>
+      val dataType = Labels.byName.get(label).map(_.dataType).getOrElse("Text")
+      val rows = group.sortBy(r => (r.span.start, r.span.end)).filter(_.confidence >= threshold)
+      var buffer = List.empty[Scorer.Scored] // reversed
+      def flush(): Unit = if (buffer.nonEmpty) {
+        val buf = buffer.reverse
+        val start = buf.head.span.start
+        val end = buf.last.span.end
+        val conf = buf.map(_.confidence).sum / buf.size
+        val slice = text.substring(start, end)
+        val normalized = dataType match {
+          case "Percentage" => Normalize.normalizeToPercentage(slice).map(_.toString).getOrElse(buf.head.normalized)
+          case "Date" => Normalize.normalizeToDate(slice).getOrElse(buf.head.normalized)
+          case _ => if (buf.size == 1) buf.head.normalized else slice
+        }
+        out += Scorer.Scored(Span(start, end), label, conf, normalized)
+        buffer = Nil
+      }
+      rows.foreach { row =>
+        buffer match {
+          case head :: _ if isValidMerge(text, buffer.last.span.start, head.span.end, row, dataType, threshold) =>
+            buffer = row :: buffer
+          case Nil => buffer = row :: Nil
+          case _ => flush(); buffer = row :: Nil
+        }
+      }
+      flush()
+    }
+    out.result().sortBy(r => (r.span.start, r.span.end, r.label))
+  }
+
+  /** Vertical merge (M4, information_extraction.py:331-418) for
+    * multiline-capable labels: merge rows whose line boxes overlap in x and
+    * whose union box contains no foreign non-space characters. Uses the
+    * char-box array (real for PDF inputs, synthetic grid for plain text).
+    */
+  def mergeVertical(
+      text: String,
+      chars: IndexedSeq[Geometry.CharBox],
+      rowsIn: Seq[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] = {
+    val byOffset = chars.iterator.map(cb => cb.offset -> cb).toMap
+    def boxOf(sp: Span): Option[Geometry.Box] = Geometry.spanBox(chars, sp.start, sp.end)
+
+    val out = Vector.newBuilder[(Scorer.Scored, Vector[Span])]
+    rowsIn.groupBy(_.label).toVector.sortBy(_._1).foreach { case (label, group) =>
+      val rows = group.toVector.sortBy(r => boxOf(r.span).map(-_.y0).getOrElse(0.0))
+      var buffer = Vector.empty[Scorer.Scored]
+      def flush(): Unit = if (buffer.nonEmpty) {
+        val sorted = buffer.sortBy(_.span.start)
+        val conf = buffer.map(_.confidence).sum / buffer.size
+        val mergedText = sorted.map(r => text.substring(r.span.start, r.span.end)).mkString("\n")
+        out += ((Scorer.Scored(Span(sorted.head.span.start, sorted.last.span.end), label, conf, mergedText),
+          sorted.map(_.span)))
+        buffer = Vector.empty
+      }
+      def validVertical(row: Scorer.Scored): Boolean = {
+        val bufBoxes = buffer.flatMap(r => boxOf(r.span))
+        val rowBox = boxOf(row.span)
+        if (bufBoxes.isEmpty || rowBox.isEmpty) return false
+        val bb = bufBoxes
+        val bx0 = bb.map(_.x0).min; val bx1 = bb.map(_.x1).max
+        val by0 = bb.map(_.y0).min; val by1 = bb.map(_.y1).max
+        val r = rowBox.get
+        val overlap = (bx1 >= r.x0 && r.x0 >= bx0) || (bx1 >= r.x1 && r.x1 >= bx0) || (bx0 >= r.x0 && r.x1 >= bx1)
+        if (!overlap) return false
+        if (bb.exists(_.page != r.page)) return false
+        // union box must not contain foreign non-space chars
+        val ux0 = math.min(bx0, r.x0); val ux1 = math.max(bx1, r.x1)
+        val uy0 = math.min(by0, r.y0); val uy1 = math.max(by1, r.y1)
+        val memberOffsets = (buffer :+ row).iterator
+          .flatMap(m => (m.span.start to m.span.end).iterator).toSet
+        val contained = Geometry.selectChars(chars, Geometry.Box(ux0, ux1, uy0, uy1, r.page, -1))
+        contained.forall(cb => cb.ch == ' ' || memberOffsets.contains(cb.offset))
+      }
+      rows.foreach { row =>
+        if (buffer.nonEmpty && validVertical(row)) buffer :+= row
+        else { flush(); buffer = Vector(row) }
+      }
+      flush()
+    }
+    val _ = byOffset
+    out.result()
+  }
+}

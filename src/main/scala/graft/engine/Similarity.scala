@@ -1,0 +1,138 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with broadcast queries — one narrow
+  * pass over the corpus, per-partition top-k heaps, then a tiny final top-k
+  * reduce (no corpus shuffle; the only exchange moves ≤ nQueries*k rows).
+  * Scale path: hyperplane-LSH bucketing — corpus shuffles once on the bucket
+  * key; each query probes only its bucket.
+  */
+object Similarity {
+
+  /** Dot/cosine in double precision (stable across platforms). */
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val d = norm(a) * norm(b)
+    if (d == 0) 0.0 else dot(a, b) / d
+  }
+
+  // Fixed random hyperplanes (splitmix64 stream, seed 7) — identical on
+  // every executor without broadcast.
+  private def hyperplanes(dim: Int, bits: Int): Array[Array[Float]] = {
+    var state = 7L
+    def next(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(bits)(Array.fill(dim)({ val v = next(); (v.toDouble / Long.MaxValue).toFloat }))
+  }
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Float]]]()
+  private def planesFor(dim: Int, bits: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent((dim, bits), { case (d, b) => hyperplanes(d, b) })
+
+  /** Sign-pattern bucket key of a vector under the fixed hyperplanes. */
+  def hyperplaneKey(v: Array[Float], bits: Int): Long = {
+    val ps = planesFor(v.length, bits)
+    var key = 0L; var i = 0
+    while (i < bits) {
+      if (dot(ps(i), v) >= 0) key |= (1L << i)
+      i += 1
+    }
+    key
+  }
+
+  final case class Neighbor(query_id: Long, neighbor_id: Long, cosine: Double, rank: Int)
+
+  /** Brute-force cosine top-k: queries broadcast as a plain array (KBs),
+    * corpus scanned once; per-partition heaps keep k per query; final
+    * reduce over nQueries×partitions×k rows.
+    */
+  def bruteForceTopK(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      k: Int): Dataset[Neighbor] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    val partial = corpus.mapPartitions { it =>
+      val qs = bc.value
+      // per-query bounded heaps (min-heap on (cosine, -id) so worst is on top)
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+        Ordering.by { case (c, id) => (-c, id) }))
+      it.foreach { case (id, v) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val c = cosine(qs(qi)._2, v)
+          val h = heaps(qi)
+          if (h.size < k) h.enqueue((c, id))
+          else if (c > h.head._1 || (c == h.head._1 && id < h.head._2)) { h.dequeue(); h.enqueue((c, id)) }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (qs(qi)._1, id, c) }
+      }
+    }
+    // final exact top-k per query over the tiny partial set
+    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
+    partial.toDF("_1", "_2", "_3")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
+      .as[Neighbor]
+  }
+
+  /** LSH-bucketed ANN: corpus bucketed by hyperplane key (one shuffle,
+    * reusable across queries); each query searches its own bucket plus
+    * single-bit-flip probes (multi-probe for recall).
+    */
+  def lshTopK(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      k: Int, bits: Int = 10): Dataset[Neighbor] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val keyed = corpus.map { case (id, v) => (hyperplaneKey(v, bits), id, v) }
+    val probes: Map[Long, Array[(Long, Array[Float])]] = {
+      val m = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      queries.foreach { case (qid, qv) =>
+        val base = hyperplaneKey(qv, bits)
+        (Seq(base) ++ (0 until bits).map(b => base ^ (1L << b))).foreach { key =>
+          m.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
+        }
+      }
+      m.view.mapValues(_.toArray).toMap
+    }
+    val bc = spark.sparkContext.broadcast(probes)
+    val partial = keyed.mapPartitions { it =>
+      val pm = bc.value
+      it.flatMap { case (key, id, v) =>
+        pm.get(key) match {
+          case Some(qs) => qs.iterator.map { case (qid, qv) => (qid, id, cosine(qv, v)) }
+          case None => Iterator.empty
+        }
+      }
+    }
+    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
+    partial.toDF("_1", "_2", "_3")
+      .dropDuplicates("_1", "_2")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
+      .as[Neighbor]
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.core.Fingerprint
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels callable from generated code (whole-stage codegen emits
+  * `graft.functions.StringKernels.xxx(...)` — keep these static-shaped).
+  */
+object StringKernels {
+  /** Whitespace-token count over the raw UTF-8 bytes — no String allocation.
+    * Counts maximal runs of non-{space, \n, \t, \f} bytes; ASCII separators
+    * never appear inside UTF-8 continuation bytes, so byte scanning is exact.
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    var count = 0
+    var inTok = false
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      val ws = b == ' '.toByte || b == '\n'.toByte || b == '\t'.toByte || b == '\f'.toByte
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    count
+  }
+
+  def simhash64(s: UTF8String): Long = Fingerprint.simhash64(s.toString)
+}
+
+/** Native token-count expression: codegen-friendly (stays inside the
+  * WholeStageCodegen span, no UDF serialization) — the hot counter for
+  * token-budget aggregations over 10^12 rows.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = StringKernels.tokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringKernels.tokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCount = copy(child = newChild)
+  override def prettyName: String = "graft_token_count"
+}
+
+/** Native 64-bit SimHash expression (near-dup sketch) — codegen'd call into
+  * the shared kernel so dedup scans avoid UDF overhead.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = StringKernels.simhash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** Column-level API + SQL registration for the native expressions. */
+object GraftFunctions {
+  def token_count(c: Column): Column = ColumnBridge.column(TokenCount(ColumnBridge.expression(c)))
+  def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_token_count", exprs => TokenCount(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+  }
+}
