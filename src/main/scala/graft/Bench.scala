@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds plus the
+  * headline extraction throughput (docs/sec over the synthetic web corpus —
+  * the BASELINE.json metric). SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS come
+  * from the driver.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warm-up so the first measured query isn't paying JIT cost
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+    graft.engine.Extraction.extractDF(spark, 100, cpus.toInt).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline: extraction docs/sec on the html path (bigger corpus at bench)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    val t0 = System.nanoTime()
+    val extracted = graft.engine.Extraction.extractDF(spark, nDocs, cpus.toInt * 4).count()
+    val extractSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = extracted / extractSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""extract_docs":$extracted,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
+        s""""cpus":$cpus}""")
     spark.stop()
   }
 }

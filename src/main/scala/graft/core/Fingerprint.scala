@@ -12,9 +12,22 @@ object Fingerprint {
   val DefaultNumPerm = 64
   val DefaultBands = 16 // 16 bands x 4 rows
 
-  /** Lowercased word tokens (letters+digits runs). */
-  def words(text: String): Array[String] =
-    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+  /** Lowercased word tokens (letters+digits runs) — manual scan, no regex
+    * split / whole-text lowercase (hot in per-doc simhash/shingling).
+    */
+  def words(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(Character.toLowerCase(c))
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
 
   /** k-word shingle hashes (64-bit via two murmur32 passes with distinct seeds). */
   def shingles(text: String, k: Int = 3): Array[Long] = {
@@ -105,20 +118,39 @@ object Fingerprint {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  /** 64-bit SimHash over word unigrams weighted by frequency. */
+  /** 64-bit SimHash over word unigrams — single streaming scan, no word
+    * strings allocated. Word hash = finalized FNV-1a over lowercased
+    * letter/digit runs (our own fingerprint spec; fixed forever for
+    * cross-run determinism).
+    */
   def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
-    val ws = words(text)
+    var h = 0xcbf29ce484222325L // FNV offset basis
+    var inWord = false
     var i = 0
-    while (i < ws.length) {
-      val h = hash64(ws(i))
+    val n = text.length
+    def flush(): Unit = {
+      // splitmix-style finalization for bit diffusion
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
+      h = 0xcbf29ce484222325L
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) {
+        h = (h ^ Character.toLowerCase(c).toLong) * 0x100000001b3L // FNV prime
+        inWord = true
+      } else if (inWord) { flush(); inWord = false }
       i += 1
     }
+    if (inWord) flush()
     var out = 0L
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }

@@ -198,14 +198,24 @@ object Html {
     out.result()
   }
 
+  /** Case-insensitive indexOf without lowercasing the whole page. */
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length - target.length
+    var i = math.max(from, 0)
+    while (i <= n) {
+      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Extract the document title (first `<title>` element text). */
   def titleOf(html: String): String = {
-    val lower = html.toLowerCase
-    val s = lower.indexOf("<title")
+    val s = indexOfIgnoreCase(html, "<title", 0)
     if (s < 0) return ""
-    val open = lower.indexOf('>', s)
+    val open = html.indexOf('>', s)
     if (open < 0) return ""
-    val e = lower.indexOf("</title", open)
+    val e = indexOfIgnoreCase(html, "</title", open)
     if (e < 0) return ""
     decodeEntities(html.substring(open + 1, e)).trim.replaceAll("\\s+", " ")
   }

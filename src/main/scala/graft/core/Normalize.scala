@@ -318,7 +318,14 @@ object Normalize {
     var s = raw.replace(" ", "").replace(":", "").replace(",", "").replace("[", "")
       .replace("(", "").replace(")", "").replace(";", "").replace("‚", "")
     val orgStr = s
-    for ((k, v) <- MonthTable) s = s.toUpperCase.replace(k, v)
+    // uppercase once (the per-key re-uppercasing in the reference is
+    // idempotent); skip the month cascade entirely for letter-free inputs —
+    // String.replace is allocation-free on a miss, but 30+ toUpperCase
+    // calls per token were the extraction hot path's allocation storm.
+    s = s.toUpperCase
+    if (s.exists(c => Character.isLetter(c))) {
+      for ((k, v) <- MonthTable) s = s.replace(k, v)
+    }
     var translation = if (s.isEmpty) None else datesWithDayCount(s, orgStr)
     if (translation.isEmpty) translation = datesMonthYearOnly(s)
     if (translation.isEmpty && isDec(s) && s.length == 4)

@@ -115,17 +115,47 @@ object Rx {
     }
   }
 
+  /** Whitespace-run token spans packed as start<<32|end — the zero-boxing
+    * hot path for the extraction pipeline (identical intervals to
+    * `tokenSpans(text, Tokenizers.whitespace)`).
+    */
+  def whitespaceTokensPacked(text: String): Array[Long] = {
+    val out = new mutable.ArrayBuilder.ofLong
+    var i = 0
+    var start = -1
+    val n = text.length
+    while (i <= n) {
+      val ws = i == n || {
+        val c = text.charAt(i); c == ' ' || c == '\n' || c == '\t' || c == '\f'
+      }
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) { out += (start.toLong << 32) | i.toLong; start = -1 }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Tokenizer contract (konfuzio_sdk/tokenizer/regex.py:38-88): group spans
     * only (`keep_full_match=False`), deduped by (start, end), input order.
     */
   def tokenSpans(text: String, cp: CompiledPattern): Vector[Span] = {
-    val seen = mutable.HashSet.empty[Long]
-    val out = Vector.newBuilder[Span]
-    Rx.matches(text, cp, keepFullMatch = false).foreach { rm =>
-      val key = (rm.start.toLong << 32) | (rm.end.toLong & 0xffffffffL)
-      if (seen.add(key)) out += Span(rm.start, rm.end)
+    if (cp.groupCount == 0) {
+      // group-free patterns (e.g. the whitespace tokenizer) emit disjoint
+      // full matches — no duplicates possible, skip the dedup set and the
+      // per-match value allocation entirely (hot path at corpus scale)
+      val m = cp.pattern.matcher(text)
+      val out = Vector.newBuilder[Span]
+      while (m.find()) if (m.end > m.start) out += Span(m.start, m.end)
+      out.result()
+    } else {
+      val seen = mutable.HashSet.empty[Long]
+      val out = Vector.newBuilder[Span]
+      Rx.matches(text, cp, keepFullMatch = false).foreach { rm =>
+        val key = (rm.start.toLong << 32) | (rm.end.toLong & 0xffffffffL)
+        if (seen.add(key)) out += Span(rm.start, rm.end)
+      }
+      out.result()
     }
-    out.result()
   }
 }
 

@@ -15,10 +15,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Extraction {
 
-  def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256") // getInstance has JCA lock contention
+  }
+  private val hexTable = "0123456789abcdef".toCharArray
+
+  def sha256Hex(s: String): String = {
+    val md = sha256Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = hexTable((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexTable(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** "12,34 %" arrives as two whitespace tokens; when an amount span is
     * followed (gap ≤ 1 space, same line) by a bare '%' token, relabel the
@@ -26,21 +41,35 @@ object Extraction {
     * type-preserving rule applied across the token boundary.
     */
   private[engine] def attachPercentSigns(
-      text: String, spans: Seq[Span], scored: Vector[Scorer.Scored]): Vector[Scorer.Scored] = {
-    val pctStarts = spans.iterator
-      .filter(sp => sp.end - sp.start == 1 && text.charAt(sp.start) == '%')
-      .map(sp => sp.start -> sp).toMap
+      text: String, spans: Seq[Span], scored: Vector[Scorer.Scored]): Vector[Scorer.Scored] =
+    attachPercentSignsPacked(text,
+      spans.iterator.map(sp => (sp.start.toLong << 32) | sp.end.toLong).toArray, scored)
+
+  private[engine] def attachPercentSignsPacked(
+      text: String, packed: Array[Long], scored: Vector[Scorer.Scored]): Vector[Scorer.Scored] = {
+    if (scored.isEmpty) return scored
+    // '%'-only tokens by start offset (rare; tiny map)
+    var pctStarts: Map[Int, Int] = null
+    var i = 0
+    while (i < packed.length) {
+      val s = (packed(i) >>> 32).toInt; val e = (packed(i) & 0xffffffffL).toInt
+      if (e - s == 1 && text.charAt(s) == '%') {
+        if (pctStarts == null) pctStarts = Map.empty
+        pctStarts = pctStarts.updated(s, e)
+      }
+      i += 1
+    }
+    if (pctStarts == null) return scored
+    val pcts = pctStarts
     scored.map { sc =>
       if (sc.label == "amount" || sc.label == "number") {
-        val gapOk = (1 to 2).find { g =>
-          pctStarts.contains(sc.span.end + g - 1) &&
-            (g == 1 || text.charAt(sc.span.end) == ' ')
-        }
-        gapOk.flatMap { g =>
-          val pct = pctStarts(sc.span.end + g - 1)
-          val slice = text.substring(sc.span.start, pct.end)
+        val adjacent = pcts.get(sc.span.end) // "12,34%" handled by scorer; this is "12,34 %"
+        val gapped = if (sc.span.end < text.length && text.charAt(sc.span.end) == ' ')
+          pcts.get(sc.span.end + 1) else None
+        adjacent.orElse(gapped).flatMap { pctEnd =>
+          val slice = text.substring(sc.span.start, pctEnd)
           Normalize.normalizeToPercentage(slice).map(v =>
-            Scorer.Scored(Span(sc.span.start, pct.end), "percent", sc.confidence, v.toString))
+            Scorer.Scored(Span(sc.span.start, pctEnd), "percent", sc.confidence, v.toString))
         }.getOrElse(sc)
       } else sc
     }
@@ -55,18 +84,25 @@ object Extraction {
       if (row.text != null && row.text.nonEmpty) row.text // reference-parity path: pre-extracted
       else if (row.html != null && row.html.nonEmpty) Html.extract(Html.decodeBytes(row.html)).text
       else ""
-    val spans = Rx.tokenSpans(text, Tokenizers.whitespace)
-    val scored = attachPercentSigns(text, spans, Scorer.scoreSpans(text, spans))
+    val packed = Rx.whitespaceTokensPacked(text)
+    val scored = attachPercentSignsPacked(text, packed, Scorer.scorePacked(text, packed))
     val merged = Merge.mergeHorizontal(text, scored)
+    val spanArr = new Array[SpanT](packed.length)
+    var si = 0
+    while (si < packed.length) {
+      val p = packed(si)
+      spanArr(si) = SpanT((p >>> 32).toInt, (p & 0xffffffffL).toInt)
+      si += 1
+    }
     ExtractedDoc(
       url = row.url,
       extracted_text = text,
-      spans = spans.iterator.map(s => SpanT(s.start, s.end)).toArray,
+      spans = spanArr,
       labels = merged.iterator.map(m =>
         LabeledSpan(m.label, m.span.start, m.span.end,
           text.substring(m.span.start, m.span.end), m.confidence, m.normalized)).toArray,
       lang = if (row.lang != null && row.lang.nonEmpty) row.lang else LangId.detect(text),
-      n_tokens = spans.length,
+      n_tokens = packed.length,
       text_sha256 = sha256Hex(text),
       simhash = Fingerprint.simhash64(text),
     )
