@@ -401,6 +401,87 @@ object SparkEntry {
         .toDF("doc_id", "n_line_boxes", "n_merged_boxes")
         .orderBy(col("doc_id"))
     }),
+    "q36_section_assign" -> ((s, dir) => {
+      // C6: as-of routing — each chunk joins the latest preceding section
+      // start (window last(), one shuffle, no self-join)
+      val d = t(s, dir, "documents")
+      val chunks = d
+        .select(col("doc_id"), explode(sequence(lit(0), col("n_chars") - 1, lit(100))).as("pos"))
+        .withColumn("is_start", (col("pos") / 100 % 4) === 0)
+      Sections.assignSections(chunks, "doc_id", "pos", "is_start")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("section_start").cast("long").as("section_start"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+    "q37_categorize" -> ((s, dir) => {
+      // C7: first-matching fallback keyword, codegen'd when-chain
+      val cats = Seq("alpha" -> "spark", "beta" -> "window", "gamma" -> "join", "delta" -> "stream")
+      Categorize.categorize(t(s, dir, "documents"), "text", cats)
+        .select(col("doc_id"), col("category"))
+        .orderBy(col("doc_id"))
+    }),
+    "q39_label_distribution" -> ((s, dir) => {
+      // E10: label share across the derived annotation set
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), explode(sequence(lit(0), col("n_chars") - 1, lit(100))).as("start"))
+        .withColumn("label_id", (col("start") / 100) % 3)
+        .groupBy(col("label_id").cast("long").as("label_id"))
+        .agg(count(lit(1)).as("n_spans"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("label_id"))
+    }),
+    "q40_neighbors" -> ((s, dir) => {
+      // X4: per labeled span, nearest same-line tokens left/right
+      import s.implicits._
+      Extraction.extract(Extraction.syntheticPages(s, 100, 8))
+        .flatMap { doc =>
+          val toks = doc.spans.map(sp => graft.core.Span(sp.start, sp.end)).toIndexedSeq
+          doc.labels.toSeq.map { l =>
+            val (left, right) = Neighbors.nNearest(doc.extracted_text, toks, graft.core.Span(l.start, l.end), 2)
+            (doc.url, l.label, l.start, left(0).text, left(0).distance, right(0).text, right(0).distance)
+          }
+        }
+        .toDF("url", "label", "start", "l1_text", "l1_dist", "r1_text", "r1_dist")
+        .orderBy(col("url"), col("start"))
+    }),
+    "q41_bio_export" -> ((s, dir) => {
+      // S7: BIO rows from extraction output
+      import s.implicits._
+      Extraction.extract(Extraction.syntheticPages(s, 50, 4))
+        .flatMap { doc =>
+          val toks = doc.spans.map(sp => graft.core.Span(sp.start, sp.end)).toIndexedSeq
+          val labels = doc.labels.toSeq.map(l => (l.label, graft.core.Span(l.start, l.end)))
+          Bio.tag(doc.extracted_text, toks, labels).map(b => (doc.url, b.index, b.token, b.tag))
+        }
+        .toDF("url", "token_index", "token", "tag")
+        .orderBy(col("url"), col("token_index"))
+    }),
+    "q42_clf_metrics" -> ((s, dir) => {
+      // E8: per-label precision/recall over the synthetic eval pair
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val gt = d.select(col("doc_id"),
+        explode(sequence(lit(0), col("n_chars") - 1, lit(100))).as("start_offset"), col("n_chars"))
+        .select(col("doc_id"), col("start_offset"),
+          least(col("start_offset") + 100, col("n_chars")).as("end_offset"))
+        .withColumn("ann_id", col("doc_id") * 1000 + col("start_offset") / 100)
+        .withColumn("annotation_set_id", col("doc_id"))
+        .withColumn("label_id", (col("start_offset") / 100) % 3)
+        .withColumn("label_set_id", lit(1L))
+        .withColumn("is_correct", lit(true))
+        .withColumn("confidence", lit(1.0))
+        .withColumn("label_threshold", lit(0.1))
+      val pred = gt
+        .filter((col("start_offset") / 100) % 5 =!= 4)
+        .withColumn("label_id",
+          when((col("start_offset") / 100) % 7 === 3, lit(99L)).otherwise(col("label_id")))
+        .withColumn("is_correct", lit(false))
+        .withColumn("confidence", lit(0.9))
+      val flags = Evaluate.compareStrict(gt, pred)
+      Evaluate.summarize(flags, Seq(coalesce(col("label_id"), col("label_id_predicted")).as("label_id")))
+        .withColumn("precision", round(col("tp") / (col("tp") + col("fp")), 6))
+        .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 6))
+        .orderBy(col("label_id"))
+    }),
     "q35_eval_pipeline" -> ((s, dir) => {
       // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
       import s.implicits._
@@ -589,5 +670,28 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q36_section_assign" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |chunks AS (
+        |  SELECT doc_id, i * 100 AS pos, i FROM documents JOIN nums ON i * 100 < n_chars)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST((i - (i % 4)) * 100 AS BIGINT) AS section_start
+        |FROM chunks ORDER BY doc_id, pos""".stripMargin,
+    "q37_categorize" ->
+      """SELECT doc_id,
+        | CASE WHEN contains(lower(text), 'spark') THEN 'alpha'
+        |      WHEN contains(lower(text), 'window') THEN 'beta'
+        |      WHEN contains(lower(text), 'join') THEN 'gamma'
+        |      WHEN contains(lower(text), 'stream') THEN 'delta'
+        |      ELSE 'none' END AS category
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_label_distribution" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |spans AS (
+        |  SELECT doc_id, i % 3 AS label_id FROM documents JOIN nums ON i * 100 < n_chars)
+        |SELECT CAST(label_id AS BIGINT) AS label_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,57 @@
+package graft.jobs
+
+import graft.engine.{Extraction, SparkTestBase}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractJobSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_job").toString
+    d
+  }
+
+  test("full run writes all buckets with lineage, audit passes") {
+    val out = freshDir()
+    val pages = Extraction.syntheticPages(spark, 200, 4)
+    val rows = ExtractJob.run(spark, pages, out, nBuckets = 8)
+    assert(rows.map(_.bucket).sorted == (0 until 8))
+    assert(rows.map(_.n_rows).sum == 200)
+    val audit = ExtractJob.audit(spark, out).collect()
+    assert(audit.length == 8)
+    assert(audit.forall(_.getAs[Boolean]("rows_match")))
+    assert(audit.forall(_.getAs[Boolean]("checksum_match")))
+  }
+
+  test("resume after simulated crash recomputes only pending buckets") {
+    val out = freshDir()
+    val pages = Extraction.syntheticPages(spark, 200, 4)
+    // crash at bucket 5: buckets 0-4 committed
+    intercept[RuntimeException] {
+      ExtractJob.run(spark, pages, out, nBuckets = 8, failAtBucket = Some(5))
+    }
+    val committed = ExtractJob.committedBuckets(spark, out)
+    assert(committed == Set(0, 1, 2, 3, 4))
+    // resume: only 5,6,7 run
+    val resumed = ExtractJob.run(spark, pages, out, nBuckets = 8)
+    assert(resumed.map(_.bucket).sorted == Seq(5, 6, 7))
+    // final state is complete and consistent
+    val audit = ExtractJob.audit(spark, out).collect()
+    assert(audit.length == 8)
+    assert(audit.forall(_.getAs[Boolean]("checksum_match")))
+    // and identical to a clean single-shot run (resume introduces no drift)
+    val out2 = freshDir()
+    ExtractJob.run(spark, pages, out2, nBuckets = 8)
+    val a = spark.read.parquet(s"$out/data").select("url", "text_sha256").collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$out2/data").select("url", "text_sha256").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("second run on completed output is a no-op") {
+    val out = freshDir()
+    val pages = Extraction.syntheticPages(spark, 50, 2)
+    ExtractJob.run(spark, pages, out, nBuckets = 4)
+    val again = ExtractJob.run(spark, pages, out, nBuckets = 4)
+    assert(again.isEmpty)
+  }
+}
