@@ -28,4 +28,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseG1GC")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").toSeq)

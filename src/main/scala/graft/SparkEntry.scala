@@ -482,6 +482,48 @@ object SparkEntry {
         .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 6))
         .orderBy(col("label_id"))
     }),
+    "q43_containment_label" -> ((s, dir) => {
+      // C3: token inherits the label of the fully-containing annotation
+      val d = t(s, dir, "documents")
+      val tokens = d
+        .select(col("doc_id"), explode(sequence(lit(0), col("n_chars") - 1, lit(50))).as("start_offset"), col("n_chars"))
+        .select(col("doc_id"), col("start_offset"), least(col("start_offset") + 50, col("n_chars")).as("end_offset"))
+      val anns = d
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), explode(sequence(lit(0), col("n_chars") - 1, lit(200))).as("ann_s"), col("n_chars"))
+        .select(col("doc_id"), col("ann_s").as("start_offset"),
+          least(col("ann_s") + 100, col("n_chars")).as("end_offset"),
+          ((col("ann_s") / 200) % 3).as("label_id"))
+      Evaluate.labelByContainment(tokens, anns)
+        .select(col("doc_id"), col("start_offset"), col("end_offset"),
+          coalesce(col("label_id"), lit(-1L)).cast("long").as("label_id"))
+        .orderBy(col("doc_id"), col("start_offset"))
+    }),
+    "q44_stream_extract" -> ((s, dir) => {
+      // Structured Streaming flagship: stream the corpus through the full
+      // extraction pipeline (typed mapPartitions inside a stream), count
+      // labels per doc in the sink
+      import s.implicits._
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_pages")
+      Extraction.syntheticPages(s, 300, 4).write.parquet(stage.toString + "/batch")
+      val schema = s.read.parquet(stage.toString + "/batch").schema
+      val stream = s.readStream.schema(schema).parquet(stage.toString + "/batch").as[PageRow]
+      val extracted = stream.mapPartitions(_.map(Extraction.extractOne))
+        .select(col("url"), col("n_tokens"), size(col("labels")).as("n_labels"), col("text_sha256"))
+      val qname = "graft_stream_extract_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = extracted.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname).orderBy(col("url"))
+    }),
+    "q45_salted_agg" -> ((s, dir) => {
+      // skew handling: salted two-phase aggregation over a hot key
+      Skew.twoPhaseAgg(t(s, dir, "documents"), "source", nSalts = 8, Seq(
+        (count(lit(1)), (c: String) => sum(col(c)), "n_docs"),
+        (sum(col("n_chars")), (c: String) => sum(col(c)), "sum_chars"),
+      ))
+        .select(col("source"), col("n_docs").cast("long"), col("sum_chars").cast("long"))
+        .orderBy(col("source"))
+    }),
     "q35_eval_pipeline" -> ((s, dir) => {
       // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
       import s.implicits._
@@ -685,6 +727,24 @@ object SparkEntry {
         |      WHEN contains(lower(text), 'stream') THEN 'delta'
         |      ELSE 'none' END AS category
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_containment_label" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |tokens AS (
+        |  SELECT doc_id, i * 50 AS start_offset, least(i * 50 + 50, n_chars) AS end_offset
+        |  FROM documents JOIN nums ON i * 50 < n_chars),
+        |anns AS (
+        |  SELECT doc_id, i * 200 AS ann_s, least(i * 200 + 100, n_chars) AS ann_e,
+        |    CAST(i % 3 AS BIGINT) AS label_id
+        |  FROM documents JOIN nums ON i * 200 < n_chars)
+        |SELECT t.doc_id AS doc_id, t.start_offset, t.end_offset,
+        |  COALESCE(a.label_id, -1) AS label_id
+        |FROM tokens t LEFT JOIN anns a
+        |  ON t.doc_id = a.doc_id AND t.start_offset >= a.ann_s AND t.end_offset <= a.ann_e
+        |ORDER BY doc_id, start_offset""".stripMargin,
+    "q45_salted_agg" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_label_distribution" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
         |spans AS (

@@ -114,6 +114,26 @@ object Evaluate {
           col("ann_id_predicted").isNotNull).cast("int"))
   }
 
+  /** C3 training-row labeling (information_extraction.py:2699-2713): a
+    * tokenizer span inherits an annotation's label when fully contained in
+    * the annotation's span. Equi-join on doc + containment predicate →
+    * SortMergeJoin with post-filter; unmatched tokens keep NO_LABEL (null).
+    */
+  def labelByContainment(tokens: DataFrame, annotations: DataFrame): DataFrame = {
+    // rename the join key on the annotation side: both frames usually derive
+    // from the same scan, and column-reference joins on a self-joined
+    // lineage resolve ambiguously (Spark's trivially-true-predicate trap)
+    val ann = annotations
+      .withColumnRenamed("doc_id", "ann_doc_id")
+      .withColumnRenamed("start_offset", "ann_start")
+      .withColumnRenamed("end_offset", "ann_end")
+    tokens.join(ann,
+      col("doc_id") === col("ann_doc_id") &&
+        col("start_offset") >= col("ann_start") && col("end_offset") <= col("ann_end"),
+      "left")
+      .drop("ann_doc_id")
+  }
+
   final case class Calc(tp: Long, fp: Long, fn: Long, tn: Long) {
     def precision: Option[Double] = if (tp + fp == 0) None else Some(tp.toDouble / (tp + fp))
     def recall: Option[Double] = if (tp + fn == 0) None else Some(tp.toDouble / (tp + fn))
