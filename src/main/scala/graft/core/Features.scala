@@ -124,6 +124,27 @@ object Features {
 
   val width: Int = featureNames.length
 
+  /** X6 catchphrase features (information_extraction.py:1662-1682): for each
+    * catchphrase, the line-distance from `lineIndex` back to the nearest
+    * previous line containing it; -1 when none does.
+    */
+  def catchphraseDistances(lines: IndexedSeq[String], lineIndex: Int, catchphrases: Seq[String]): Vector[Int] =
+    catchphrases.iterator.map { phrase =>
+      var i = lineIndex - 1
+      var found = -1
+      while (i >= 0 && found < 0) {
+        if (lines(i).contains(phrase)) found = lineIndex - i
+        i -= 1
+      }
+      found
+    }.toVector
+
+  /** X7 word-on-page feature (information_extraction.py:1650-1659): 1 when
+    * the word occurs on the span's page slice.
+    */
+  def wordOnPage(pageText: String, word: String): Int =
+    if (pageText.contains(word)) 1 else 0
+
   /** The feature vector for one offset string, in [[featureNames]] order.
     * All counts are computed on the accent-stripped string; only
     * `accented_char_count` sees the original (reference contract,

@@ -86,6 +86,22 @@ object Geometry {
   def readingOrder(boxes: Seq[Box]): Vector[Box] =
     boxes.toVector.sortBy(b => (b.page, b.line, b.x0))
 
+  /** X2 spatial features of a span box relative to its page
+    * (data.py:1070-1088; information_extraction.py:1622-1625): absolutes,
+    * area, quadrant-two area, page-relative ratios, and the span's relative
+    * page position in the document.
+    */
+  final case class SpatialFeatures(
+      x0: Double, x1: Double, y0: Double, y1: Double,
+      area: Double, areaQuadrantTwo: Double,
+      x0Rel: Double, x1Rel: Double, y0Rel: Double, y1Rel: Double,
+      pageIndex: Int, relativePositionInPage: Double)
+
+  def spatialFeatures(b: Box, pageW: Double, pageH: Double, nPages: Int): SpatialFeatures =
+    SpatialFeatures(b.x0, b.x1, b.y0, b.y1, b.area, b.quadrantTwoArea,
+      b.x0 / pageW, b.x1 / pageW, b.y0 / pageH, b.y1 / pageH,
+      b.page, if (nPages > 0) b.page.toDouble / nPages else 0.0)
+
   /** Rescale a box between coordinate spaces (utils.py:502-524). */
   def rescale(b: Box, fromW: Double, fromH: Double, toW: Double, toH: Double): Box =
     b.copy(x0 = b.x0 * toW / fromW, x1 = b.x1 * toW / fromW,

@@ -95,6 +95,45 @@ object RegexGen {
   def normalizedMatcher(regex: String): String =
     groupNamePart.matcher(regex).replaceAll("")
 
+  /** R10: context-window regex proposals around an annotated interval
+    * (data.py:2217-2255): for each spacer in `search`, a fully-generalized
+    * prefix pattern of `spacer²` chars before + the annotation pattern +
+    * `spacer` chars after; deduped by stripped matcher.
+    */
+  def contextProposals(
+      text: String,
+      start: Int,
+      end: Int,
+      annotationRegex: String,
+      search: Seq[Int] = Seq(2, 5, 10),
+  ): Vector[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val out = Vector.newBuilder[String]
+    search.foreach { spacer =>
+      val before = suggestRegexForString(
+        text.substring(math.max(0, start - spacer * spacer), start), replaceCharacters = true)
+      val after = suggestRegexForString(
+        text.substring(end, math.min(text.length, end + spacer)), replaceCharacters = true)
+      val proposal = before + annotationRegex + after
+      if (seen.add(normalizedMatcher(proposal))) out += proposal
+    }
+    out.result()
+  }
+
+  /** R12 `generic_candidate_function` (regex.py:247-291): split a text into
+    * (candidates, otherText, candidateSpans) by one regex.
+    */
+  def candidateSplit(text: String, regex: String): (Vector[String], Vector[String], Vector[Span]) = {
+    val ms = Rx.matches(text, CompiledPattern.compile(regex), keepFullMatch = false)
+    val spans = ms.map(m => Span(m.start, m.end))
+    val candidates = ms.map(_.value)
+    val other = Vector.newBuilder[String]
+    var prev = 0
+    spans.foreach { sp => other += text.substring(prev, sp.start); prev = sp.end }
+    other += text.substring(prev)
+    (candidates, other.result(), spans)
+  }
+
   /** Per-(regex, document) evaluation (data.py:2257-2313): run the pattern
     * filtered to `Label_{id}` groups; a finding is correct when it matches a
     * ground-truth span exactly; precision/recall/F1 over findings.

@@ -110,6 +110,15 @@ object TextOffsets {
     spans.result()
   }
 
+  /** F4: clamp a span to a page's bounds (Page.annotations/Page.spans,
+    * data.py:188-231); None when the span lies outside the page.
+    */
+  def clampToPage(span: Span, page: Span): Option[Span] = {
+    val s = math.max(span.start, page.start)
+    val e = math.min(span.end, page.end)
+    if (e > s) Some(Span(s, e)) else None
+  }
+
   /** Split a [start,end) interval at line/page boundaries so that no emitted
     * span crosses `\n` or `\f` (the reference Span invariant, data.py:924-925;
     * fill-gap splitting in data.py:1815-1843).

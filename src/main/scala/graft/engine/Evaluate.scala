@@ -114,6 +114,42 @@ object Evaluate {
           col("ann_id_predicted").isNotNull).cast("int"))
   }
 
+  /** E7 tokenizer evaluation (tokenizer/base.py:63-96): tokenize each text,
+    * strict-compare the produced spans against ground truth, return the
+    * found-by-tokenizer ratio inputs per doc. `tokens`/`gt` carry
+    * (doc_id, start_offset, end_offset).
+    */
+  def tokenizerEvaluate(tokens: DataFrame, gt: DataFrame): DataFrame = {
+    val tk = tokens.select(col("doc_id"), col("start_offset"), col("end_offset"))
+      .withColumn("found", lit(1))
+    gt.select(col("doc_id"), col("start_offset"), col("end_offset"))
+      .join(tk, Seq("doc_id", "start_offset", "end_offset"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_gt"), sum(coalesce(col("found"), lit(0))).as("n_found"))
+      .withColumn("tokenizer_recall", col("n_found") / col("n_gt"))
+  }
+
+  /** C4 NO_LABEL balancing (information_extraction.py:2793-2806): cap the
+    * negative examples per document at `limit` (deterministic: keep the
+    * first by start offset).
+    */
+  def capNoLabel(df: DataFrame, labelCol: String, noLabel: String, limit: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_offset"))
+    df.withColumn("__rn",
+      when(col(labelCol) === noLabel, row_number().over(w)).otherwise(lit(0)))
+      .filter(col("__rn") <= limit)
+      .drop("__rn")
+  }
+
+  /** C8 `SeparateLabels` renaming (information_extraction.py:3167-3240):
+    * split combined "LabelSet__Label" names back apart.
+    */
+  def splitCombinedLabel(combined: String): (String, String) = {
+    val i = combined.indexOf("__")
+    if (i < 0) ("", combined) else (combined.substring(0, i), combined.substring(i + 2))
+  }
+
   /** C3 training-row labeling (information_extraction.py:2699-2713): a
     * tokenizer span inherits an annotation's label when fully contained in
     * the annotation's span. Equi-join on doc + containment predicate →

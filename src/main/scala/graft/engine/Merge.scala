@@ -87,6 +87,13 @@ object Merge {
     out.result().sortBy(r => (r.span.start, r.span.end, r.label))
   }
 
+  /** M5 `split_multiline_annotations` (information_extraction.py:620-667):
+    * explode a multi-line extraction into one row per line segment.
+    */
+  def splitMultiline(text: String, row: Scorer.Scored): Vector[Scorer.Scored] =
+    graft.core.TextOffsets.splitAtLineBreaks(text, row.span.start, row.span.end)
+      .map(sp => row.copy(span = sp, normalized = text.substring(sp.start, sp.end)))
+
   /** Vertical merge (M4, information_extraction.py:331-418) for
     * multiline-capable labels: merge rows whose line boxes overlap in x and
     * whose union box contains no foreign non-space characters. Uses the
