@@ -23,15 +23,16 @@ object ScalingBench {
     spark
   }
 
-  private def measure(spark: SparkSession, cores: Int, nDocs: Long, trials: Int): Double = {
+  private def measure(spark: SparkSession, cores: Int, nDocs: Long, srcDir: String, trials: Int): Double = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     var best = 0.0
     (0 until trials).foreach { _ =>
       val t0 = System.nanoTime()
-      // aggregate over real output columns: forces the extraction work and
-      // a pruned serialization, without a typed filter's decode round-trip
+      // the real job shape: parquet scan of the page table → extraction →
+      // pruned aggregate (forces the work without a typed-filter decode)
       graft.engine.Extraction.extract(
-        graft.engine.Extraction.syntheticPages(spark, nDocs, cores * 4))
+        spark.read.parquet(srcDir).as[graft.engine.PageRow])
         .toDF()
         .agg(sum(col("n_tokens")), max(length(col("extracted_text"))))
         .collect()
@@ -54,33 +55,41 @@ object ScalingBench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "300000").toLong
     val nLow = 8
     val nHigh = 32
-    // Global JIT warm-up: run the full path hot once before ANY measurement
-    // so neither level benefits from the other's compilation.
+    // Materialize the input table once (the engine's contract input is a
+    // table of (url, warc_ts, html, text, lang), not a generator) and do a
+    // global JIT warm-up before ANY measurement so neither level benefits
+    // from the other's compilation.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_scaling_pages").toString + "/pages"
     val warm = session(nHigh)
-    graft.engine.Extraction.extractDF(warm, 20000, nHigh).count()
+    graft.engine.Extraction.syntheticPages(warm, nDocs, nHigh * 4)
+      .write.mode("overwrite").parquet(srcDir)
+    measure(warm, nHigh, nDocs, srcDir, trials = 1)
     warm.stop()
 
     // measure low/high adjacent in time per round (the host's throughput
-    // drifts between runs; a round's pair shares the same window), then
-    // report the best round's ratio and throughputs
+    // drifts between runs; a round's pair shares the same window). Report
+    // the round with the healthiest BOTH-sides window — max over rounds of
+    // min(low, high/4) — not the best ratio (a slow low next to an ok high
+    // would fake superlinear scaling).
     var tputLow = 0.0
     var tputHigh = 0.0
-    var efficiency = 0.0
+    var bestScore = 0.0
     var sumLow = ""
     var sumHigh = ""
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     (0 until rounds).foreach { _ =>
       val sLow = session(nLow)
-      val lo = measure(sLow, nLow, nDocs, trials = 1)
+      val lo = measure(sLow, nLow, nDocs, srcDir, trials = 1)
       sumLow = checksum(sLow, nLow)
       sLow.stop()
       val sHigh = session(nHigh)
-      val hi = measure(sHigh, nHigh, nDocs, trials = 1)
+      val hi = measure(sHigh, nHigh, nDocs, srcDir, trials = 1)
       sumHigh = checksum(sHigh, nHigh)
       sHigh.stop()
-      val eff = (hi / lo) / (nHigh.toDouble / nLow)
-      if (eff > efficiency) { efficiency = eff; tputLow = lo; tputHigh = hi }
+      val score = math.min(lo, hi / (nHigh.toDouble / nLow))
+      if (score > bestScore) { bestScore = score; tputLow = lo; tputHigh = hi }
     }
+    val efficiency = (tputHigh / tputLow) / (nHigh.toDouble / nLow)
     require(sumLow == sumHigh, "extraction output differs between parallelism levels!")
     val json =
       f"""{"docs":$nDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
@@ -113,6 +122,16 @@ object ScalingBench {
          |Efficiency = (throughput_high / throughput_low) / ($nHigh/$nLow).
          |Determinism witness: sorted (url, sha256(extracted_text)) checksum
          |identical at both levels — byte-identical extraction per url.
+         |
+         |Input is a pre-materialized parquet page table (the engine's
+         |contract input shape), so the measured job is scan → extract →
+         |aggregate, the real production shape. Caveat for reading these
+         |numbers: both levels run in ONE JVM on ONE box, so local[$nHigh]
+         |shares a single memory subsystem; a real $nLow→$nHigh executor
+         |scale-out brings proportional memory bandwidth, which this sandbox
+         |cannot. Host throughput also drifts ±40%% between windows (full
+         |history in bench_history.jsonl); the reported round is the one
+         |with the healthiest both-sides window, not the best ratio.
          |
          |This run:
          |```json

@@ -98,9 +98,13 @@ object Html {
     var srcEnd: Int = -1
     var pendingSpace = false
 
-    def appendText(t: String, inLink: Boolean, src: Int, srcTo: Int): Unit = {
-      var i = 0
-      while (i < t.length) {
+    def appendText(t: String, inLink: Boolean, src: Int, srcTo: Int): Unit =
+      appendRange(t, 0, t.length, inLink, src, srcTo)
+
+    /** Append a [from,to) slice of `t` — no substring allocation. */
+    def appendRange(t: String, from: Int, to: Int, inLink: Boolean, src: Int, srcTo: Int): Unit = {
+      var i = from
+      while (i < to) {
         val c = t.charAt(i)
         if (Character.isWhitespace(c)) { if (sb.nonEmpty) pendingSpace = true }
         else {
@@ -187,8 +191,14 @@ object Html {
         val next = html.indexOf('<', i)
         val end = if (next < 0) n else next
         if (skipDepth == 0) {
-          val decoded = decodeEntities(html.substring(i, end))
-          cur.appendText(decoded, linkDepth > 0, i, end)
+          // zero-copy fast path: segments without entities append in place
+          var amp = html.indexOf('&', i)
+          if (amp < 0 || amp >= end)
+            cur.appendRange(html, i, end, linkDepth > 0, i, end)
+          else {
+            val decoded = decodeEntities(html.substring(i, end))
+            cur.appendText(decoded, linkDepth > 0, i, end)
+          }
           cur.inList = cur.inList || listDepth > 0
         }
         i = end
