@@ -246,6 +246,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q47_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val queries = corpus.filter(_._1 < 10).collect().sortBy(_._1)
+      Similarity.ivfTopK(corpus, queries, 5).toDF()
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q22_embedding_neardups" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val doubled = e.select(col("vec_id"), col("embedding"))
@@ -524,6 +533,14 @@ object SparkEntry {
         .select(col("source"), col("n_docs").cast("long"), col("sum_chars").cast("long"))
         .orderBy(col("source"))
     }),
+    "q46_json_props" -> ((s, dir) => {
+      // semi-structured column handling: JSON path extraction + agg
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
     "q35_eval_pipeline" -> ((s, dir) => {
       // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
       import s.implicits._
@@ -741,6 +758,11 @@ object SparkEntry {
         |FROM tokens t LEFT JOIN anns a
         |  ON t.doc_id = a.doc_id AND t.start_offset >= a.ann_s AND t.end_offset <= a.ann_e
         |ORDER BY doc_id, start_offset""".stripMargin,
+    "q46_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_salted_agg" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

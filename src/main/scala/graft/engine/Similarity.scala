@@ -96,6 +96,70 @@ object Similarity {
       .as[Neighbor]
   }
 
+  /** IVF ANN: coarse k-means quantizer (deterministic seed); corpus is
+    * assigned to cells once (reusable index), each query probes its
+    * `nProbe` nearest centroids. The centroid table is tiny and broadcast;
+    * the corpus shuffles once on the cell id at index-build time.
+    */
+  def ivfTopK(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      k: Int, nCells: Int = 16, nProbe: Int = 3): Dataset[Neighbor] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = corpus.map { case (_, v) =>
+      org.apache.spark.ml.feature.LabeledPoint(0.0,
+        org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble)))
+    }.toDF("label", "features")
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
+    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val probes: Map[Int, Array[(Long, Array[Float])]] = {
+      val m = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      queries.foreach { case (qid, qv) =>
+        val dists = centers.indices.map { c =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val x = qv(i) - centers(c)(i); d += x * x; i += 1 }
+          (d, c)
+        }.sorted.take(nProbe)
+        dists.foreach { case (_, c) =>
+          m.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
+        }
+      }
+      m.view.mapValues(_.toArray).toMap
+    }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val partial = corpus.mapPartitions { it =>
+      val cs = bcCenters.value
+      val pm = bcProbes.value
+      def cell(v: Array[Float]): Int = {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      it.flatMap { case (id, v) =>
+        pm.get(cell(v)) match {
+          case Some(qs) => qs.iterator.map { case (qid, qv) => (qid, id, cosine(qv, v)) }
+          case None => Iterator.empty
+        }
+      }
+    }
+    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
+    partial.toDF("_1", "_2", "_3")
+      .dropDuplicates("_1", "_2")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
+      .as[Neighbor]
+  }
+
   /** LSH-bucketed ANN: corpus bucketed by hyperplane key (one shuffle,
     * reusable across queries); each query searches its own bucket plus
     * single-bit-flip probes (multi-probe for recall).

@@ -85,6 +85,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF ANN recall against brute force on clustered vectors") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(8)(d => (math.cos(c * 13 + d) + 0.01 * math.sin(i * 7 + d)).toFloat)
+      (i, v)
+    }
+    val corpus = vecs.toDS()
+    val queries = vecs.take(5).toArray
+    val bf = Similarity.bruteForceTopK(corpus, queries, 3).collect()
+      .map(n => (n.query_id, n.neighbor_id)).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, 3, nCells = 8, nProbe = 2).collect()
+      .map(n => (n.query_id, n.neighbor_id)).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
   test("multimodal stub decode is deterministic with real schema") {
     val a = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 2)).collect()
     val b = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 8)).collect()
