@@ -30,14 +30,23 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline: extraction docs/sec on the html path — best of 2 trials
-    // (GC debt from the query sweep otherwise depresses the first trial)
+    // headline: extraction docs/sec over a materialized page table (the
+    // engine's contract input — scan → extract, same shape as ScalingBench);
+    // best of 2 trials (GC debt from the query sweep depresses the first)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    val pagesDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString + "/pages"
+    graft.engine.Extraction.syntheticPages(spark, nDocs, cpus.toInt * 4)
+      .write.mode("overwrite").parquet(pagesDir)
+    import org.apache.spark.sql.functions.{col, count, lit, sum => sqlsum}
+    import spark.implicits._
     var extracted = 0L
     var extractSec = Double.MaxValue
     (0 until 2).foreach { _ =>
       val t0 = System.nanoTime()
-      extracted = graft.engine.Extraction.extractDF(spark, nDocs, cpus.toInt * 4).count()
+      extracted = graft.engine.Extraction.extract(
+        spark.read.parquet(pagesDir).as[graft.engine.PageRow]).toDF()
+        .agg(count(lit(1)), sqlsum(col("n_tokens")))
+        .collect()(0).getLong(0)
       extractSec = math.min(extractSec, (System.nanoTime() - t0) / 1e9)
     }
     val docsPerSec = extracted / extractSec
