@@ -77,19 +77,27 @@ object ScalingBench {
     var sumLow = ""
     var sumHigh = ""
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
-    (0 until rounds).foreach { _ =>
+    val pairs = (0 until rounds).map { _ =>
       val sLow = session(nLow)
-      val lo = measure(sLow, nLow, nDocs, srcDir, trials = 1)
+      val lo = measure(sLow, nLow, nDocs, srcDir, trials = 2)
       sumLow = checksum(sLow, nLow)
       sLow.stop()
       val sHigh = session(nHigh)
-      val hi = measure(sHigh, nHigh, nDocs, srcDir, trials = 1)
+      val hi = measure(sHigh, nHigh, nDocs, srcDir, trials = 2)
       sumHigh = checksum(sHigh, nHigh)
       sHigh.stop()
-      val score = math.min(lo, hi / (nHigh.toDouble / nLow))
+      (lo, hi)
+    }
+    // a round whose ratio exceeds 1.05 is a host anomaly (the low side hit a
+    // throttled phase), not superlinear scaling — prefer sane rounds
+    val ratio = nHigh.toDouble / nLow
+    val sane = pairs.filter { case (lo, hi) => (hi / lo) / ratio <= 1.05 }
+    val pool = if (sane.nonEmpty) sane else pairs
+    pool.foreach { case (lo, hi) =>
+      val score = math.min(lo, hi / ratio)
       if (score > bestScore) { bestScore = score; tputLow = lo; tputHigh = hi }
     }
-    val efficiency = (tputHigh / tputLow) / (nHigh.toDouble / nLow)
+    val efficiency = (tputHigh / tputLow) / ratio
     require(sumLow == sumHigh, "extraction output differs between parallelism levels!")
     val json =
       f"""{"docs":$nDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
