@@ -58,13 +58,7 @@ object Fingerprint {
   // Fixed odd multipliers/addends derived from a splitmix64 stream seeded 42.
   private val (permA, permB): (Array[Long], Array[Long]) = {
     var state = 42L
-    def next(): Long = {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def next(): Long = { state += SplitMix64.Golden; SplitMix64.mix(state) }
     val a = Array.fill(256)(next() | 1L)
     val b = Array.fill(256)(next())
     (a, b)
@@ -130,11 +124,7 @@ object Fingerprint {
     var i = 0
     val n = text.length
     def flush(): Unit = {
-      // splitmix-style finalization for bit diffusion
-      var z = h
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= (z >>> 31)
+      val z = SplitMix64.mix(h) // finalization for bit diffusion
       var b = 0
       while (b < 64) {
         if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

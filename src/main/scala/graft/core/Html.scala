@@ -134,7 +134,7 @@ object Html {
     var linkDepth = 0
     var listDepth = 0
     var skipDepth = 0 // inside <head>
-    var title = false
+    var inTitle = false // <title> outside <head> must not leak into content
     var i = 0
     val n = html.length
 
@@ -171,7 +171,7 @@ object Html {
               if (skipSubtreeTags.contains(name)) {
                 if (!isEnd) skipDepth += 1 else if (skipDepth > 0) skipDepth -= 1
               }
-              if (name == "title") title = !isEnd && !title
+              if (name == "title") inTitle = !isEnd
               if (name == "a") { if (!isEnd) linkDepth += 1 else if (linkDepth > 0) linkDepth -= 1 }
               if (name == "ul" || name == "ol") { if (!isEnd) listDepth += 1 else if (listDepth > 0) listDepth -= 1 }
               if (blockTags.contains(name)) {
@@ -190,7 +190,7 @@ object Html {
       } else {
         val next = html.indexOf('<', i)
         val end = if (next < 0) n else next
-        if (skipDepth == 0) {
+        if (skipDepth == 0 && !inTitle) {
           // zero-copy fast path: segments without entities append in place
           var amp = html.indexOf('&', i)
           if (amp < 0 || amp >= end)

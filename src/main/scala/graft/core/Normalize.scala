@@ -56,8 +56,15 @@ object Normalize {
   /** Absolute-value float normalization (reference: normalize.py:56-264).
     * The ordered format cascade is the contract — each branch condition must
     * fire in exactly this order to reproduce the reference's outputs.
+    * Total: a malformed token that would make the parse throw (the
+    * reference's float() raise, swallowed by its normalize() try/except at
+    * normalize.py:645-667) yields None.
     */
-  def normalizeToAbsoluteFloat(raw: String): Option[Double] = {
+  def normalizeToAbsoluteFloat(raw: String): Option[Double] =
+    try normalizeToAbsoluteFloatUnsafe(raw)
+    catch { case _: NumberFormatException => None }
+
+  private def normalizeToAbsoluteFloatUnsafe(raw: String): Option[Double] = {
     if (ZeroForms.contains(raw)) return Some(0.0)
     WordNumbers.get(raw.toLowerCase) match {
       case Some(v) => return Some(v)
@@ -313,8 +320,14 @@ object Normalize {
     translation.flatMap(t => finalDateCheck("01." + t))
   }
 
-  /** `Date` normalization → ISO `YYYY-MM-DD` (normalize.py:292-367). */
-  def normalizeToDate(raw: String): Option[String] = {
+  /** `Date` normalization → ISO `YYYY-MM-DD` (normalize.py:292-367). Total
+    * (parse surprises → None, mirroring the reference's dispatch catch).
+    */
+  def normalizeToDate(raw: String): Option[String] =
+    try normalizeToDateUnsafe(raw)
+    catch { case _: RuntimeException => None }
+
+  private def normalizeToDateUnsafe(raw: String): Option[String] = {
     var s = raw.replace(" ", "").replace(":", "").replace(",", "").replace("[", "")
       .replace("(", "").replace(")", "").replace(";", "").replace("‚", "")
     val orgStr = s

@@ -33,11 +33,8 @@ object WebCorpus {
       (h.toLong << 32) ^ MurmurHash3.stringHash(url, 0xc0ffee + salt).toLong
     }
     def nextLong(): Long = {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+      state += graft.core.SplitMix64.Golden
+      graft.core.SplitMix64.mix(state)
     }
     def nextInt(bound: Int): Int = (math.floorMod(nextLong(), bound.toLong)).toInt
     def pick[T](v: Vector[T]): T = v(nextInt(v.length))

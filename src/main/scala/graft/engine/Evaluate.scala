@@ -46,17 +46,23 @@ object Evaluate {
     */
   private def electAndFlag(df: DataFrame, groupCol: String, targetCol: String): DataFrame = {
     val eligible = df.filter(col("above_predicted_threshold") && col("is_matched"))
+    val groupCols = // group==target (multiline self-election) needs one col
+      if (groupCol == targetCol) Seq(col(groupCol)) else Seq(col(groupCol), col(targetCol))
     val votes = eligible
       .filter(col(targetCol).isNotNull)
-      .groupBy(col(groupCol), col(targetCol))
+      .groupBy(groupCols: _*)
       .agg(sum(coalesce(col("confidence_predicted"), lit(1.0))).as("w"))
     val pick = row_number().over(
       Window.partitionBy(col(groupCol)).orderBy(col("w").desc, col(targetCol).asc))
     val elected = votes.withColumn("rn", pick).filter(col("rn") === 1)
       .select(col(groupCol).as("g"), col(targetCol).as(s"elected_$targetCol"))
+    // null target never equals an election result (the reference's
+    // no-target-to-predict branch yields None → False, evaluate.py:56-57)
     df.join(elected, df(groupCol) <=> elected("g"), "left")
       .drop("g")
-      .withColumn(s"is_correct_$targetCol", col(targetCol) <=> col(s"elected_$targetCol"))
+      .withColumn(s"is_correct_$targetCol",
+        col(targetCol).isNotNull && col(s"elected_$targetCol").isNotNull &&
+          col(targetCol) === col(s"elected_$targetCol"))
   }
 
   /** Strict compare (evaluate.py:88-103): full outer join on exact offsets. */
@@ -95,8 +101,14 @@ object Evaluate {
       df = df
         .withColumn("is_correct_label", col("label_id") <=> col("label_id_predicted"))
         .withColumn("is_correct_label_set", col("label_set_id") <=> col("label_set_id_predicted"))
-    df = electAndFlag(df, "ann_id", "ann_id_predicted")
-      .withColumnRenamed("is_correct_ann_id_predicted", "is_correct_id")
+    // multiline check (evaluate.py:99): group by the gt annotation, elect
+    // the annotation's own id among eligible voters — rows of an annotation
+    // agree iff some matched above-threshold row carries it; pure-FP rows
+    // (null gt annotation) can never elect one
+    df = electAndFlag(df, "ann_id", "ann_id")
+      .withColumnRenamed("is_correct_ann_id", "is_correct_id")
+    // annotation-set check (evaluate.py:101): per predicted set, elect the
+    // gt set by confidence-weighted mode
     df = electAndFlag(df, "annotation_set_id_predicted", "annotation_set_id")
       .withColumnRenamed("is_correct_annotation_set_id", "is_correct_annotation_set")
     val isMatched = coalesce(col("is_matched"), lit(false))
@@ -134,8 +146,10 @@ object Evaluate {
     * first by start offset).
     */
   def capNoLabel(df: DataFrame, labelCol: String, noLabel: String, limit: Int): DataFrame = {
+    // rank within the NO_LABEL subset only (partition by the label class) —
+    // a doc-wide rank would drop negatives whenever labeled rows precede them
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("start_offset"))
+      .partitionBy(col("doc_id"), col(labelCol) === noLabel).orderBy(col("start_offset"))
     df.withColumn("__rn",
       when(col(labelCol) === noLabel, row_number().over(w)).otherwise(lit(0)))
       .filter(col("__rn") <= limit)

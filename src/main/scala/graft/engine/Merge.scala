@@ -103,7 +103,6 @@ object Merge {
       text: String,
       chars: IndexedSeq[Geometry.CharBox],
       rowsIn: Seq[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] = {
-    val byOffset = chars.iterator.map(cb => cb.offset -> cb).toMap
     def boxOf(sp: Span): Option[Geometry.Box] = Geometry.spanBox(chars, sp.start, sp.end)
 
     val out = Vector.newBuilder[(Scorer.Scored, Vector[Span])]
@@ -143,7 +142,6 @@ object Merge {
       }
       flush()
     }
-    val _ = byOffset
     out.result()
   }
 }

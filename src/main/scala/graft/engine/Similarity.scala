@@ -31,11 +31,8 @@ object Similarity {
   private def hyperplanes(dim: Int, bits: Int): Array[Array[Float]] = {
     var state = 7L
     def next(): Long = {
-      state += 0x9e3779b97f4a7c15L
-      var z = state
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+      state += graft.core.SplitMix64.Golden
+      graft.core.SplitMix64.mix(state)
     }
     Array.fill(bits)(Array.fill(dim)({ val v = next(); (v.toDouble / Long.MaxValue).toFloat }))
   }

@@ -46,6 +46,11 @@ object ExtractJob {
 
   /** Run (or resume) the extraction of `pages` into `outDir`. Returns the
     * lineage rows written by THIS invocation (empty = nothing to do).
+    *
+    * The input is staged ONCE, partitioned by bucket (`outDir/_stage`), so
+    * per-bucket work reads only its own partition via pruning — never a full
+    * corpus re-scan per bucket. A crashed run's stage is reused on resume
+    * (staging is deterministic per url).
     */
   def run(
       spark: SparkSession,
@@ -57,17 +62,36 @@ object ExtractJob {
     import spark.implicits._
     val done = committedBuckets(spark, outDir)
     val pending = (0 until nBuckets).filterNot(done.contains)
+    if (pending.isEmpty) return Seq.empty
+
+    val stageDir = s"$outDir/_stage"
+    if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+      pages.map(p => (bucketOf(p.url, nBuckets), p))
+        .toDF("bucket", "page")
+        .select(col("bucket"), col("page.*"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stageDir)
+    }
+
     val written = Seq.newBuilder[LineageRow]
     pending.foreach { b =>
       failAtBucket.foreach(fb => if (fb == b) throw new RuntimeException(s"simulated failure at bucket $b"))
       val t0 = System.nanoTime()
-      val bucketPages = pages.filter(p => bucketOf(p.url, nBuckets) == b)
+      val bucketDir = s"$stageDir/bucket=$b"
+      val bucketPages: Dataset[PageRow] =
+        if (new java.io.File(bucketDir).exists())
+          spark.read.parquet(bucketDir).as[PageRow]
+        else spark.emptyDataset[PageRow]
       val extracted = Extraction.extract(bucketPages).persist()
       extracted.write.mode(SaveMode.Overwrite).parquet(s"$outDir/data/bucket=$b")
-      val stats = extracted
-        .map(d => (1L, d.n_tokens.toLong, graft.core.Fingerprint.hash64(d.url + d.text_sha256)))
-        .reduce((a, c) => (a._1 + c._1, a._2 + c._2, a._3 ^ c._3))
+      // per-partition partials collected (one triple per partition) — safe on
+      // empty buckets, order-insensitive combine
+      val partials = extracted.mapPartitions { it =>
+        var n = 0L; var toks = 0L; var x = 0L
+        it.foreach { d => n += 1; toks += d.n_tokens; x ^= graft.core.Fingerprint.hash64(d.url + d.text_sha256) }
+        Iterator.single((n, toks, x))
+      }.collect()
       extracted.unpersist()
+      val stats = partials.foldLeft((0L, 0L, 0L)) { (a, c) => (a._1 + c._1, a._2 + c._2, a._3 ^ c._3) }
       val row = LineageRow(b, stats._1, stats._2, stats._3,
         (System.nanoTime() - t0) / 1000000, new java.sql.Timestamp(System.currentTimeMillis()))
       // commit the lineage row AFTER the data write — crash between the two

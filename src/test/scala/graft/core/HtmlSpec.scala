@@ -63,6 +63,15 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("title outside <head> does not leak into content") {
+    val html = "<html><title>Site Navigation Junk</title><body>" +
+      "<p>This ordinary paragraph carries more than eight regular words for the classifier.</p></body></html>"
+    val ex = Html.extract(html)
+    assert(!ex.text.contains("Site Navigation Junk"))
+    assert(ex.text.startsWith("This ordinary paragraph"))
+    assert(Html.titleOf(html) == "Site Navigation Junk")
+  }
+
   test("extraction is deterministic (pure function of bytes)") {
     val page = WebCorpus.page(7L)
     val a = Html.extract(Html.decodeBytes(page.html)).text

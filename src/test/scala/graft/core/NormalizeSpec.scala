@@ -114,6 +114,16 @@ class NormalizeSpec extends AnyFunSuite {
     }
   }
 
+  test("totality: malformed web tokens yield None, never throw") {
+    val nasty = Seq("1,234.56.78", "1,2.3.4", "12.3.4;", "€1,2.3.4", "159,;0.3.4")
+    nasty.foreach { s =>
+      assert(Normalize.normalizeToFloat(s).isEmpty, s"float >>$s<<")
+      assert(Normalize.normalizeToPositiveFloat(s).isEmpty, s"pos >>$s<<")
+      Normalize.normalizeToPercentage(s) // must not throw
+      Normalize.normalizeToDate(s) // must not throw
+    }
+  }
+
   test("dispatch by data type") {
     assert(Normalize.normalize("Woch.Arb.Zt", "float").isEmpty)
     assert(Normalize.normalize("12,34", "percentage") == Some(0.1234))

@@ -24,4 +24,15 @@ class EvalOpsSpec extends AnyFunSuite {
       .select("start_offset").as[Int].collect().sorted
     assert(capped.toSeq == Seq(0, 10, 30)) // 2 negatives + the labeled row
   }
+
+  test("C4: cap holds when labeled rows PRECEDE the negatives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, "amount"), (1L, 10, "date"), (1L, 20, "NO_LABEL"),
+      (1L, 30, "NO_LABEL"), (1L, 40, "NO_LABEL"),
+    ).toDF("doc_id", "start_offset", "label")
+    val capped = Evaluate.capNoLabel(df, "label", "NO_LABEL", 2)
+      .select("start_offset").as[Int].collect().sorted
+    assert(capped.toSeq == Seq(0, 10, 20, 30)) // both labeled + first 2 negatives
+  }
 }
