@@ -53,8 +53,12 @@ object ScalingBench {
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "300000").toLong
-    val nLow = 8
-    val nHigh = 32
+    // default N=4 → 4N=16: the high level must fit inside the host's real
+    // parallelism with headroom — local[32] on this 32-thread box hits the
+    // single-JVM memory-bandwidth ceiling (~160k docs/s aggregate) and
+    // measures the box, not the engine (see BENCH.md)
+    val nLow = sys.env.getOrElse("SPARK_GRAFT_SCALING_LOW", "4").toInt
+    val nHigh = nLow * 4
     // Materialize the input table once (the engine's contract input is a
     // table of (url, warc_ts, html, text, lang), not a generator) and do a
     // global JIT warm-up before ANY measurement so neither level benefits
