@@ -256,7 +256,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q22_embedding_neardups" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      // bounded subset so the DuckDB oracle's exact pairwise check is cheap
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       val doubled = e.select(col("vec_id"), col("embedding"))
         .union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDups(doubled, "vec_id", "embedding", 0.999)
@@ -694,6 +695,14 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS rn FROM s)
         |SELECT qid AS query_id, nid AS neighbor_id, round(c, 6) AS cosine, CAST(rn AS INT) AS rank
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q22_embedding_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |d AS (SELECT vec_id, embedding FROM e
+        |      UNION ALL SELECT vec_id + 1000000, embedding FROM e),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+        |      FROM d a JOIN d b ON a.vec_id < b.vec_id)
+        |SELECT a, b, round(c, 6) AS cosine FROM p WHERE c >= 0.999 ORDER BY a, b""".stripMargin,
     "q23_extract_sha" ->
       """SELECT doc_id,
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
