@@ -57,9 +57,13 @@ object Bench {
     val docsPerSec = extracted / extractSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total sums ONLY successful queries (a failure must never
+    // reduce the reported time); failures are listed explicitly
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"n_failed":${failed.size},""" +
         s""""extract_docs":$extracted,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
         s""""cpus":$cpus}""")
     spark.stop()

@@ -90,35 +90,48 @@ object Dedup {
       .filter(_.estimated_jaccard >= threshold)
   }
 
-  /** Full MinHash-LSH near-dup pipeline over (id, text). */
+  /** Full MinHash-LSH near-dup pipeline over (id, text). The signature
+    * table is cached for the two passes (bands, verify), the small pair
+    * result is materialized eagerly (localCheckpoint), and the signature
+    * cache is released before returning — repeated job-level calls don't
+    * accumulate executor memory.
+    */
   def minhashNearDups(ds: Dataset[(Long, String)], threshold: Double = 0.8): Dataset[ScoredPair] = {
     val sigs = signatures(ds).persist()
-    val out = verifyPairs(sigs, candidatePairs(sigs), threshold)
-    out
+    try verifyPairs(sigs, candidatePairs(sigs), threshold).localCheckpoint(true)
+    finally sigs.unpersist()
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, using
-    * 4-block pigeonhole keys (one shuffle on the block key).
+    * 4-block pigeonhole keys (one shuffle on the block key). Buckets larger
+    * than `maxBucket` (boilerplate-identical shells all share a 16-bit
+    * block) pair only against the bucket's smallest id — connectivity is
+    * preserved for dedup while the per-bucket work stays linear.
     */
-  def simhashNearDups(ds: Dataset[(Long, String)], maxDist: Int = 3): Dataset[ScoredPair] = {
+  def simhashNearDups(ds: Dataset[(Long, String)], maxDist: Int = 3, maxBucket: Int = 1000): Dataset[ScoredPair] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val hashes = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.simhash64(t)) }).persist()
+    val hashes = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.simhash64(t)) })
     val pairs = hashes.flatMap { case (id, h) => Fingerprint.simhashBlocks(h).map(b => (b, id, h)) }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val members = it.map(m => (m._2, m._3)).toArray.sortBy(_._1)
         val out = scala.collection.mutable.ArrayBuffer.empty[ScoredPair]
-        var i = 0
-        while (i < members.length) {
-          var j = i + 1
-          while (j < members.length) {
-            val d = Fingerprint.hamming(members(i)._2, members(j)._2)
-            if (d <= maxDist && members(i)._1 != members(j)._1)
-              out += ScoredPair(members(i)._1, members(j)._1, 1.0 - d / 64.0)
-            j += 1
+        def pairOf(i: Int, j: Int): Unit = {
+          val d = Fingerprint.hamming(members(i)._2, members(j)._2)
+          if (d <= maxDist && members(i)._1 != members(j)._1)
+            out += ScoredPair(members(i)._1, members(j)._1, 1.0 - d / 64.0)
+        }
+        if (members.length > maxBucket) {
+          var j = 1
+          while (j < members.length) { pairOf(0, j); j += 1 }
+        } else {
+          var i = 0
+          while (i < members.length) {
+            var j = i + 1
+            while (j < members.length) { pairOf(i, j); j += 1 }
+            i += 1
           }
-          i += 1
         }
         out.iterator
       }
@@ -139,28 +152,44 @@ object Dedup {
       .map { case (b, a, shga, shgb) => ScoredPair(a, b, Fingerprint.jaccard(shga, shgb)) }
   }
 
-  /** Embedding-cosine near-dup pairs via hyperplane-LSH buckets (see
-    * [[Similarity.hyperplaneKey]]) — one shuffle, per-bucket pairing.
+  /** Embedding-cosine near-dup pairs via banded multi-table hyperplane LSH
+    * (see [[Similarity.hyperplaneKey]]): `tables` independent sign-pattern
+    * tables (distinct plane seeds) so a pair below the ~0.999 regime still
+    * collides in at least one table with high probability — at cosine 0.95
+    * the single-table hit rate of a 10-bit key is ~0.35; eight tables lift
+    * recall to ~0.97. One shuffle on the (table, key) pair; per-bucket
+    * pairing is capped at `maxBucket` members (larger buckets — clustered
+    * or degenerate embeddings, exactly the dedup target — pair only against
+    * the bucket's smallest id, keeping connectivity and linear output).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 12): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 10, tables: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    ds.map { case (id, v) => (Similarity.hyperplaneKey(v, bits), id, v) }
+    ds.flatMap { case (id, v) =>
+        Iterator.tabulate(tables)(t =>
+          ((t.toLong << 56) ^ Similarity.hyperplaneKey(v, bits, seed = 7L + 1013L * t), id, v))
+      }
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val members = it.map(m => (m._2, m._3)).toArray.sortBy(_._1)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < members.length) {
-          var j = i + 1
-          while (j < members.length) {
-            val c = Similarity.cosine(members(i)._2, members(j)._2)
-            if (c >= threshold) out += ((members(i)._1, members(j)._1, c))
-            j += 1
+        def pairOf(i: Int, j: Int): Unit = {
+          val c = Similarity.cosine(members(i)._2, members(j)._2)
+          if (c >= threshold) out += ((members(i)._1, members(j)._1, c))
+        }
+        if (members.length > maxBucket) {
+          var j = 1
+          while (j < members.length) { pairOf(0, j); j += 1 }
+        } else {
+          var i = 0
+          while (i < members.length) {
+            var j = i + 1
+            while (j < members.length) { pairOf(i, j); j += 1 }
+            i += 1
           }
-          i += 1
         }
         out.iterator
       }

@@ -128,13 +128,24 @@ object Merge {
         val overlap = (bx1 >= r.x0 && r.x0 >= bx0) || (bx1 >= r.x1 && r.x1 >= bx0) || (bx0 >= r.x0 && r.x1 >= bx1)
         if (!overlap) return false
         if (bb.exists(_.page != r.page)) return false
-        // union box must not contain foreign non-space chars
+        // union box must not contain foreign non-space chars; membership is
+        // checked against the member [start, end) intervals directly
+        // (exclusive end, matching the reference span contract) — no
+        // per-probe offset-set materialization
         val ux0 = math.min(bx0, r.x0); val ux1 = math.max(bx1, r.x1)
         val uy0 = math.min(by0, r.y0); val uy1 = math.max(by1, r.y1)
-        val memberOffsets = (buffer :+ row).iterator
-          .flatMap(m => (m.span.start to m.span.end).iterator).toSet
+        val members = buffer :+ row
+        def inMember(off: Int): Boolean = {
+          var i = 0
+          while (i < members.length) {
+            val sp = members(i).span
+            if (off >= sp.start && off < sp.end) return true
+            i += 1
+          }
+          false
+        }
         val contained = Geometry.selectChars(chars, Geometry.Box(ux0, ux1, uy0, uy1, r.page, -1))
-        contained.forall(cb => cb.ch == ' ' || memberOffsets.contains(cb.offset))
+        contained.forall(cb => cb.ch == ' ' || inMember(cb.offset))
       }
       rows.foreach { row =>
         if (buffer.nonEmpty && validVertical(row)) buffer :+= row

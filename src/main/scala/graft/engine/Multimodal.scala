@@ -40,8 +40,15 @@ object Multimodal {
     */
   object StubCodec {
     val EmbeddingDim = 16
+    // getInstance has JCA lock contention — one digest per executor thread
+    private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("SHA-256")
+    }
     def decode(row: MediaRow): MediaFeatures = {
-      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(row.payload)
+      val md = sha256Local.get()
+      md.reset()
+      val digest = md.digest(row.payload)
       val emb = new Array[Float](EmbeddingDim)
       var i = 0
       while (i < EmbeddingDim) {

@@ -26,10 +26,12 @@ object Similarity {
     if (d == 0) 0.0 else dot(a, b) / d
   }
 
-  // Fixed random hyperplanes (splitmix64 stream, seed 7) — identical on
-  // every executor without broadcast.
-  private def hyperplanes(dim: Int, bits: Int): Array[Array[Float]] = {
-    var state = 7L
+  // Fixed random hyperplanes (splitmix64 stream, seeded) — identical on
+  // every executor without broadcast. Distinct seeds give independent LSH
+  // tables (the banded multi-table trick that keeps near-dup recall high
+  // below the ~0.999 cosine regime).
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Float]] = {
+    var state = seed
     def next(): Long = {
       state += graft.core.SplitMix64.Golden
       graft.core.SplitMix64.mix(state)
@@ -37,13 +39,13 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)({ val v = next(); (v.toDouble / Long.MaxValue).toFloat }))
   }
   @transient private lazy val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Float]]]()
-  private def planesFor(dim: Int, bits: Int): Array[Array[Float]] =
-    planeCache.computeIfAbsent((dim, bits), { case (d, b) => hyperplanes(d, b) })
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Float]]]()
+  private def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Float]] =
+    planeCache.computeIfAbsent((dim, bits, seed), { case (d, b, s) => hyperplanes(d, b, s) })
 
   /** Sign-pattern bucket key of a vector under the fixed hyperplanes. */
-  def hyperplaneKey(v: Array[Float], bits: Int): Long = {
-    val ps = planesFor(v.length, bits)
+  def hyperplaneKey(v: Array[Float], bits: Int, seed: Long = 7L): Long = {
+    val ps = planesFor(v.length, bits, seed)
     var key = 0L; var i = 0
     while (i < bits) {
       if (dot(ps(i), v) >= 0) key |= (1L << i)

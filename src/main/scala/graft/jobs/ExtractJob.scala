@@ -34,13 +34,28 @@ object ExtractJob {
   def bucketOf(url: String, nBuckets: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(url, 0x6cf), nBuckets)
 
-  /** Buckets already committed in a previous run. */
+  /** Path existence via the Hadoop FileSystem API — works on HDFS/object
+    * stores, not just the local FS (resume on a cluster must not silently
+    * re-run everything because java.io.File can't see the path).
+    */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Buckets already committed in a previous run. A crash during the very
+    * first lineage write can leave `_lineage/` holding only `_temporary`
+    * (no committed part files) — an unreadable lineage dir therefore means
+    * "no committed buckets", not a fatal error, or the job could never
+    * resume past its first crash.
+    */
   def committedBuckets(spark: SparkSession, outDir: String): Set[Int] = {
     val lineagePath = s"$outDir/_lineage"
-    if (!new java.io.File(lineagePath).exists()) Set.empty
+    if (!pathExists(spark, lineagePath)) Set.empty
     else {
       import spark.implicits._
-      spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
+      try spark.read.parquet(lineagePath).select("bucket").as[Int].collect().toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
     }
   }
 
@@ -65,7 +80,7 @@ object ExtractJob {
     if (pending.isEmpty) return Seq.empty
 
     val stageDir = s"$outDir/_stage"
-    if (!new java.io.File(s"$stageDir/_SUCCESS").exists()) {
+    if (!pathExists(spark, s"$stageDir/_SUCCESS")) {
       pages.map(p => (bucketOf(p.url, nBuckets), p))
         .toDF("bucket", "page")
         .select(col("bucket"), col("page.*"))
@@ -78,7 +93,7 @@ object ExtractJob {
       val t0 = System.nanoTime()
       val bucketDir = s"$stageDir/bucket=$b"
       val bucketPages: Dataset[PageRow] =
-        if (new java.io.File(bucketDir).exists())
+        if (pathExists(spark, bucketDir))
           spark.read.parquet(bucketDir).as[PageRow]
         else spark.emptyDataset[PageRow]
       val extracted = Extraction.extract(bucketPages).persist()

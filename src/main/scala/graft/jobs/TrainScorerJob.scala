@@ -60,6 +60,7 @@ object TrainScorerJob {
     import spark.implicits._
     val (mean, scale) = stats(ds, dim)
     val n = ds.count().toDouble
+    require(n > 0, "fitBinary: empty training set (would divide by n=0 into NaN weights)")
     var w = new Array[Double](dim)
     var b = 0.0
     var loss = 0.0

@@ -102,6 +102,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  test("embedding near-dup recall >= 0.9 vs brute force at threshold 0.95") {
+    import spark.implicits._
+    // planted near-dups: 150 base vectors, each with a perturbed twin whose
+    // cosine sits in the 0.93-0.99 band (below the easy ~0.999 regime)
+    val dim = 16
+    def base(i: Long): Array[Float] = Array.tabulate(dim)(d => math.sin(i * 37 + d * 11).toFloat)
+    val rows = (0L until 150L).flatMap { i =>
+      val v = base(i)
+      val twin = Array.tabulate(dim)(d => v(d) + 0.12f * math.sin(i * 101 + d * 13).toFloat)
+      Seq((i * 2, v), (i * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // ground truth: exact all-pairs cosine >= 0.95
+    val truth = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      c = Similarity.cosine(a._2, b._2) if c >= 0.95
+    } yield (a._1, b._1)).toSet
+    assert(truth.size >= 100, s"test corpus should plant >=100 true pairs, got ${truth.size}")
+    val found = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth)) // verification stage guarantees precision 1
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"embedding near-dup recall $recall < 0.9 (found ${found.size}/${truth.size})")
+  }
+
+  test("embedding near-dup bucket cap bounds pair generation (regression)") {
+    import spark.implicits._
+    // 400 identical embeddings all land in the same bucket in every table:
+    // uncapped pairing would emit 400*399/2 = 79800 pairs; the cap pairs
+    // each member against the bucket's smallest id only -> exactly n-1
+    // distinct pairs, preserving dedup connectivity
+    val v = Array.tabulate(8)(d => (d + 1).toFloat)
+    val df = (0L until 400L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.999, maxBucket = 50)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.length == 399, s"capped bucket should emit n-1 pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L)) // keeper = smallest id
+  }
+
+  test("simhash bucket cap bounds pair generation (regression)") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, "identical boilerplate shell text for every row"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(df.as[(Long, String)], maxDist = 3, maxBucket = 40)
+      .collect().map(p => (p.a, p.b))
+    assert(pairs.length == 299, s"capped bucket should emit n-1 pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L))
+  }
+
   test("multimodal stub decode is deterministic with real schema") {
     val a = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 2)).collect()
     val b = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 8)).collect()
