@@ -364,21 +364,35 @@ object SparkEntry {
         .orderBy(col("hour"), col("event_type"))
     }),
     "q31_view_annotations" -> ((s, dir) => {
-      // F3: greedy best non-overlapping candidates per doc (conf desc, start)
+      // F3 engine operator (data.py:1847-1882) over a closed-form candidate
+      // lattice: per 100-char window, candidate A [0,45) and B [30,75)
+      // overlap (greedy keeps the priority winner), C is user-rejected
+      // (revised && !correct -> dropped), D sits below the 0.5 threshold
+      // (dropped). Every 5th window B is is_correct, which outranks any
+      // confidence. The oracle recomputes the winner per window.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("n_chars").cast("int")).as[(Long, Int)]
-        .mapPartitions(_.map { case (id, n) =>
-          val cands = (0 until n by 30).map { st =>
-            val sp = Span(st, math.min(st + 45, n))
-            (sp, 0.5 + 0.5 * (((st * 2654435761L) & 0xffff).toDouble / 65536.0))
+      val anns = t(s, dir, "documents").select(col("doc_id"), col("n_chars").cast("int"))
+        .as[(Long, Int)]
+        .flatMap { case (docId, n) =>
+          Iterator.from(0).takeWhile(k => 100 * k + 75 <= n).flatMap { k =>
+            def h(j: Long): Long = (docId * 1000003L + j * 2654435761L) % 65536L
+            val confA = 0.5 + 0.4 * h(2L * k) / 65536.0
+            val confB = 0.5 + 0.4 * h(2L * k + 1) / 65536.0
+            val base = 100 * k
+            Seq(
+              (docId, 4L * k, "val", base, base + 45, false, false, confA),
+              (docId, 4L * k + 1, "val", base + 30, base + 75, k % 5 == 0, false, confB),
+              (docId, 4L * k + 2, "val", base + 10, base + 55, false, true, 0.99),
+              (docId, 4L * k + 3, "val", base + 5, base + 50, false, false, 0.2))
           }
-          val sorted = cands.sortBy { case (sp, c) => (-c, sp.start) }
-          var kept = Vector.empty[Span]
-          sorted.foreach { case (sp, _) => if (!kept.exists(_.overlaps(sp))) kept :+= sp }
-          (id, kept.length.toLong, cands.length.toLong)
-        })
-        .toDF("doc_id", "n_kept", "n_candidates")
-        .orderBy(col("doc_id"))
+        }
+        .toDF("doc_id", "ann_id", "label", "start", "end", "is_correct", "revised", "confidence")
+      Annotations.viewAnnotationsDF(anns, Map("val" -> LabelDef("val", "Text", 0.5)))
+        .select(col("doc_id"), col("ann_id"),
+          col("start").cast("long").as("span_start"), col("end").cast("long").as("span_end"),
+          col("is_correct").cast("long").as("is_correct"),
+          round(col("confidence"), 6).as("confidence"))
+        .orderBy(col("doc_id"), col("span_start"))
     }),
     "q32_regex_induction" -> ((s, dir) => {
       // R3/R5: learned token patterns for each doc's first token
@@ -399,16 +413,37 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
     "q34_geometry" -> ((s, dir) => {
-      // §2.13 layout kernels on a synthetic char grid
+      // §2.13 + S3: rebuild each doc with structure (every 8th token
+      // boundary becomes a newline, every 5th a 3-space run), emit the grid
+      // as a per-char OCR payload, push it through the REAL bbox
+      // ingestion/validation stage (Ingest.validatedCharBoxes,
+      // data.py:2097-2120), then run the layout kernels. Counts are
+      // closed-form: lines = ceil(ntok/8); a 3-space gap (18 units) breaks
+      // a word-run (maxGap 1.5 x meanW 6 = 9), a single space (6) does not.
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val chars = Geometry.syntheticCharBoxes(text.take(500))
-          val lines = Geometry.lineBoxes(chars)
-          val merged = Geometry.mergedBoxes(chars)
-          (id, lines.length.toLong, merged.length.toLong)
+          val toks = text.split(' ')
+          val sb = new java.lang.StringBuilder(text.length + toks.length * 2)
+          var j = 0
+          while (j < toks.length) {
+            if (j > 0) {
+              if (j % 8 == 0) sb.append('\n')
+              else if (j % 5 == 0) sb.append("   ")
+              else sb.append(' ')
+            }
+            sb.append(toks(j))
+            j += 1
+          }
+          val m = sb.toString
+          val payload = Ingest.payloadOf(Geometry.syntheticCharBoxes(m))
+          val chars = Ingest.validatedCharBoxes(m, payload)
+            .fold(err => throw new IllegalStateException(err), identity)
+          (id, Geometry.lineBoxes(chars).length.toLong,
+            Geometry.mergedBoxes(chars).length.toLong,
+            chars.count(_.ch != ' ').toLong)
         })
-        .toDF("doc_id", "n_line_boxes", "n_merged_boxes")
+        .toDF("doc_id", "n_line_boxes", "n_merged_boxes", "n_boxed_chars")
         .orderBy(col("doc_id"))
     }),
     "q36_section_assign" -> ((s, dir) => {
@@ -429,6 +464,36 @@ object SparkEntry {
       Categorize.categorize(t(s, dir, "documents"), "text", cats)
         .select(col("doc_id"), col("category"))
         .orderBy(col("doc_id"))
+    }),
+    "q38_feature_frame" -> ((s, dir) => {
+      // X8: the assembled 270-column feature frame (information_extraction
+      // .py:1345-1647). Columns are pulled from the frame BY NAME through
+      // featureNames — the oracle recomputes token offsets, grid geometry
+      // and neighbor x-distances independently, so a wrong column order or
+      // a shifted feature breaks the hash.
+      import s.implicits._
+      val names = FeatureFrame.featureNames(2, 2)
+      def ix(n: String): Int = names.indexOf(n)
+      val (iLen, iDig, iVow) = (ix("feat_len"), ix("feat_digit_len"), ix("feat_vowel_len"))
+      val (iX0, iX1, iAq2) = (ix("x0"), ix("x1"), ix("area_quadrant_two"))
+      val (iL0, iL1, iR0) = (ix("l_dist0"), ix("l_dist1"), ix("r_dist0"))
+      val (iL0Len, iR0Len) = (ix("l0_feat_len"), ix("r0_feat_len"))
+      val (iFwX1, iFwY1) = (ix("first_word_x1"), ix("first_word_y1"))
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val toks = Rx.tokenSpans(text, Tokenizers.whitespace).toIndexedSeq
+          FeatureFrame.assembleDoc(text, Geometry.syntheticCharBoxes(text), toks, toks)
+            .map { r =>
+              val f = r.features
+              (id, r.start.toLong, r.offsetString, f(iLen), f(iDig), f(iVow),
+                f(iX0), f(iX1), f(iAq2), f(iL0), f(iL1), f(iR0),
+                f(iL0Len), f(iR0Len), f(iFwX1), f(iFwY1), f.length.toLong)
+            }
+        })
+        .toDF("doc_id", "start", "offset_string", "feat_len", "feat_digit_len", "feat_vowel_len",
+          "x0", "x1", "area_quadrant_two", "l_dist0", "l_dist1", "r_dist0",
+          "l0_feat_len", "r0_feat_len", "first_word_x1", "first_word_y1", "width")
+        .orderBy(col("doc_id"), col("start"))
     }),
     "q39_label_distribution" -> ((s, dir) => {
       // E10: label share across the derived annotation set
@@ -466,31 +531,23 @@ object SparkEntry {
         .orderBy(col("url"), col("token_index"))
     }),
     "q42_clf_metrics" -> ((s, dir) => {
-      // E8: per-label precision/recall over the synthetic eval pair
-      import s.implicits._
+      // E8 full classifier metrics (information_extraction.py:2977-3132):
+      // accuracy / balanced accuracy / weighted F1 (all rows and excluding
+      // NO_LABEL true positives), per-label P/R/F1/support, and
+      // floor(conf*10) calibration buckets — over a closed-form
+      // (y_true, y_pred, confidence) frame the oracle can rebuild.
       val d = t(s, dir, "documents")
-      val gt = d.select(col("doc_id"),
-        explode(sequence(lit(0), col("n_chars") - 1, lit(100))).as("start_offset"), col("n_chars"))
-        .select(col("doc_id"), col("start_offset"),
-          least(col("start_offset") + 100, col("n_chars")).as("end_offset"))
-        .withColumn("ann_id", col("doc_id") * 1000 + col("start_offset") / 100)
-        .withColumn("annotation_set_id", col("doc_id"))
-        .withColumn("label_id", (col("start_offset") / 100) % 3)
-        .withColumn("label_set_id", lit(1L))
-        .withColumn("is_correct", lit(true))
-        .withColumn("confidence", lit(1.0))
-        .withColumn("label_threshold", lit(0.1))
-      val pred = gt
-        .filter((col("start_offset") / 100) % 5 =!= 4)
-        .withColumn("label_id",
-          when((col("start_offset") / 100) % 7 === 3, lit(99L)).otherwise(col("label_id")))
-        .withColumn("is_correct", lit(false))
-        .withColumn("confidence", lit(0.9))
-      val flags = Evaluate.compareStrict(gt, pred)
-      Evaluate.summarize(flags, Seq(coalesce(col("label_id"), col("label_id_predicted")).as("label_id")))
-        .withColumn("precision", round(col("tp") / (col("tp") + col("fp")), 6))
-        .withColumn("recall", round(col("tp") / (col("tp") + col("fn")), 6))
-        .orderBy(col("label_id"))
+      val i = (col("pos") / 100).cast("long")
+      val frame = d.select(col("doc_id"), explode(sequence(lit(0), col("n_chars") - 1, lit(100))).as("pos"))
+        .withColumn("y_true",
+          when(i % 11 === 0, lit("NO_LABEL")).otherwise(concat(lit("L"), (i % 3).cast("string"))))
+        .withColumn("y_pred",
+          when(i % 13 === 0, lit("NO_LABEL"))
+            .otherwise(concat(lit("L"),
+              ((i + when(i % 7 === 3, 1).otherwise(0)) % 3).cast("string"))))
+        .withColumn("confidence", lit(0.5) + (i % 50).cast("double") / 100.0)
+      Evaluate.classifierMetrics(frame)
+        .orderBy(col("scope"), col("metric"))
     }),
     "q43_containment_label" -> ((s, dir) => {
       // C3: token inherits the label of the fully-containing annotation
@@ -743,6 +800,22 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q34_geometry" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |d AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+        |        length(replace(text, ' ', '')) AS boxed
+        |      FROM documents),
+        |breaks AS (
+        |  SELECT doc_id, count(*) AS n_breaks
+        |  FROM d JOIN nums ON i <= ntok - 1
+        |  WHERE i % 5 = 0 AND i % 8 <> 0
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  CAST(ceil(ntok / 8.0) AS BIGINT) AS n_line_boxes,
+        |  CAST(ceil(ntok / 8.0) + COALESCE(n_breaks, 0) AS BIGINT) AS n_merged_boxes,
+        |  CAST(boxed AS BIGINT) AS n_boxed_chars
+        |FROM d LEFT JOIN breaks ON d.doc_id = breaks.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q36_section_assign" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
         |chunks AS (
@@ -758,6 +831,75 @@ object SparkEntry {
         |      WHEN contains(lower(text), 'stream') THEN 'delta'
         |      ELSE 'none' END AS category
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_eval_pipeline" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |spans AS (SELECT doc_id, i FROM documents JOIN nums ON i * 100 < n_chars)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i % 5 <> 4 AND i % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN i % 5 <> 4 AND i % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN i % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_clf_metrics" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN i % 11 = 0 THEN 'NO_LABEL' ELSE 'L' || CAST(i % 3 AS VARCHAR) END AS y_true,
+        |    CASE WHEN i % 13 = 0 THEN 'NO_LABEL'
+        |         ELSE 'L' || CAST((i + CASE WHEN i % 7 = 3 THEN 1 ELSE 0 END) % 3 AS VARCHAR) END AS y_pred,
+        |    0.5 + (i % 50) / 100.0 AS conf
+        |  FROM documents JOIN nums ON i * 100 < n_chars),
+        |cm AS (SELECT y_true, y_pred, count(*) AS n FROM r GROUP BY 1, 2),
+        |g AS (SELECT 'general' AS scope, y_true, y_pred, n FROM cm
+        |      UNION ALL
+        |      SELECT 'general_filtered', y_true, y_pred, n FROM cm
+        |      WHERE NOT (y_true = 'NO_LABEL' AND y_pred = 'NO_LABEL')),
+        |tot AS (SELECT scope, sum(n) AS nn,
+        |         sum(CASE WHEN y_true = y_pred THEN n ELSE 0 END) AS ok
+        |        FROM g GROUP BY 1),
+        |bt AS (SELECT scope, y_true AS lbl, sum(n) AS support,
+        |         sum(CASE WHEN y_true = y_pred THEN n ELSE 0 END) AS tp
+        |        FROM g GROUP BY 1, 2),
+        |bp AS (SELECT scope, y_pred AS lbl, sum(n) AS predicted FROM g GROUP BY 1, 2),
+        |pc AS (SELECT bt.scope, bt.lbl, support, tp, COALESCE(predicted, 0) AS predicted,
+        |         tp * 1.0 / support AS recall,
+        |         CASE WHEN tp = 0 THEN 0.0
+        |              ELSE tp * 2.0 / (support + COALESCE(predicted, 0)) END AS f1
+        |       FROM bt LEFT JOIN bp ON bt.scope = bp.scope AND bt.lbl = bp.lbl),
+        |bal AS (SELECT scope, avg(recall) AS bal,
+        |          sum(f1 * support) / sum(support) AS wf1
+        |        FROM pc GROUP BY 1),
+        |gen AS (
+        |  SELECT tot.scope, 'accuracy' AS metric, round(ok * 1.0 / nn, 6) AS value FROM tot
+        |  UNION ALL SELECT bal.scope, 'balanced_accuracy', round(bal, 6) FROM bal
+        |  UNION ALL SELECT bal.scope, 'weighted_f1', round(wf1, 6) FROM bal
+        |  UNION ALL SELECT tot.scope, 'n', CAST(nn AS DOUBLE) FROM tot),
+        |lbls AS (SELECT DISTINCT y_true AS lbl FROM cm UNION SELECT DISTINCT y_pred FROM cm),
+        |tps AS (SELECT y_true AS lbl, sum(n) AS tp FROM cm WHERE y_true = y_pred GROUP BY 1),
+        |tr AS (SELECT y_true AS lbl, sum(n) AS support FROM cm GROUP BY 1),
+        |pr AS (SELECT y_pred AS lbl, sum(n) AS predicted FROM cm GROUP BY 1),
+        |pl AS (SELECT l.lbl, COALESCE(tp, 0) AS tp, COALESCE(support, 0) AS support,
+        |         COALESCE(predicted, 0) AS predicted
+        |       FROM lbls l LEFT JOIN tps USING (lbl) LEFT JOIN tr USING (lbl) LEFT JOIN pr USING (lbl)),
+        |lab AS (
+        |  SELECT 'label:' || lbl AS scope, 'precision' AS metric,
+        |    round(CASE WHEN predicted = 0 THEN 0.0 ELSE tp * 1.0 / predicted END, 6) AS value FROM pl
+        |  UNION ALL SELECT 'label:' || lbl, 'recall',
+        |    round(CASE WHEN support = 0 THEN 0.0 ELSE tp * 1.0 / support END, 6) FROM pl
+        |  UNION ALL SELECT 'label:' || lbl, 'f1',
+        |    round(CASE WHEN support + predicted = 0 THEN 0.0
+        |               ELSE tp * 2.0 / (support + predicted) END, 6) FROM pl
+        |  UNION ALL SELECT 'label:' || lbl, 'support', CAST(support AS DOUBLE) FROM pl),
+        |cal AS (SELECT CAST(floor(conf * 10) AS BIGINT) AS b, count(*) AS n,
+        |          avg(CASE WHEN y_true = y_pred THEN 1.0 ELSE 0.0 END) AS acc
+        |        FROM r GROUP BY 1),
+        |calr AS (
+        |  SELECT 'calib:' || CAST(b AS VARCHAR) AS scope, 'n' AS metric, CAST(n AS DOUBLE) AS value FROM cal
+        |  UNION ALL SELECT 'calib:' || CAST(b AS VARCHAR), 'accuracy', round(acc, 6) FROM cal)
+        |SELECT scope, metric, value FROM gen
+        |UNION ALL SELECT scope, metric, value FROM lab
+        |UNION ALL SELECT scope, metric, value FROM calr
+        |ORDER BY scope, metric""".stripMargin,
     "q43_containment_label" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
         |tokens AS (
@@ -781,6 +923,50 @@ object SparkEntry {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_view_annotations" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+        |pairs AS (
+        |  SELECT doc_id, i AS k,
+        |    0.5 + 0.4 * ((doc_id * 1000003 + (2 * i) * 2654435761) % 65536) / 65536.0 AS conf_a,
+        |    0.5 + 0.4 * ((doc_id * 1000003 + (2 * i + 1) * 2654435761) % 65536) / 65536.0 AS conf_b
+        |  FROM documents JOIN nums ON 100 * i + 75 <= n_chars)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN k % 5 = 0 OR conf_b > conf_a THEN 4 * k + 1 ELSE 4 * k END AS BIGINT) AS ann_id,
+        |  CAST(CASE WHEN k % 5 = 0 OR conf_b > conf_a THEN 100 * k + 30 ELSE 100 * k END AS BIGINT) AS span_start,
+        |  CAST(CASE WHEN k % 5 = 0 OR conf_b > conf_a THEN 100 * k + 75 ELSE 100 * k + 45 END AS BIGINT) AS span_end,
+        |  CAST(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_correct,
+        |  round(CASE WHEN k % 5 = 0 OR conf_b > conf_a THEN conf_b ELSE conf_a END, 6) AS confidence
+        |FROM pairs ORDER BY doc_id, span_start""".stripMargin,
+    "q38_feature_frame" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, ps[i] AS tok,
+        |    CAST(COALESCE(sum(length(ps[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s,
+        |    CAST(length(ps[1]) AS INT) AS fwlen
+        |  FROM parts JOIN nums ON i <= len(ps)),
+        |pos AS (SELECT doc_id, i, tok, s, s + length(tok) AS e, fwlen FROM tok WHERE tok <> ''),
+        |nbr AS (
+        |  SELECT doc_id, i, tok, s, e, fwlen,
+        |    lag(e) OVER w AS le, lag(e, 2) OVER w AS le2,
+        |    lag(tok) OVER w AS ltok, lead(s) OVER w AS rs, lead(tok) OVER w AS rtok
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        |SELECT doc_id, CAST(s AS BIGINT) AS start, tok AS offset_string,
+        |  CAST(length(tok) AS DOUBLE) AS feat_len,
+        |  CAST(length(tok) - length(regexp_replace(tok, '[0-9]', '', 'g')) AS DOUBLE) AS feat_digit_len,
+        |  CAST(length(lower(tok)) - length(regexp_replace(lower(tok), '[aeiou]', '', 'g')) AS DOUBLE) AS feat_vowel_len,
+        |  CAST(6 * s AS DOUBLE) AS x0, CAST(6 * e AS DOUBLE) AS x1,
+        |  CAST(6 * s * 782 AS DOUBLE) AS area_quadrant_two,
+        |  CAST(CASE WHEN le IS NULL THEN 100000 ELSE 6 * (s - le) END AS DOUBLE) AS l_dist0,
+        |  CAST(CASE WHEN le2 IS NULL THEN 100000 ELSE 6 * (s - le2) END AS DOUBLE) AS l_dist1,
+        |  CAST(CASE WHEN rs IS NULL THEN 100000 ELSE 6 * (rs - e) END AS DOUBLE) AS r_dist0,
+        |  CAST(COALESCE(length(ltok), 0) AS DOUBLE) AS l0_feat_len,
+        |  CAST(COALESCE(length(rtok), 0) AS DOUBLE) AS r0_feat_len,
+        |  CAST(6 * fwlen AS DOUBLE) AS first_word_x1,
+        |  CAST(792 AS DOUBLE) AS first_word_y1,
+        |  CAST(270 AS BIGINT) AS width
+        |FROM nbr ORDER BY doc_id, start""".stripMargin,
     "q39_label_distribution" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
         |spans AS (

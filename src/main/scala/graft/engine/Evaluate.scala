@@ -184,6 +184,92 @@ object Evaluate {
       .drop("ann_doc_id")
   }
 
+  /** E8 full classifier metrics (information_extraction.py:2977-3132):
+    * accuracy / balanced accuracy / weighted F1 over all rows, the same
+    * excluding NO_LABEL true positives (rows where both sides are NO_LABEL),
+    * per-label precision/recall/F1/support, and `floor(confidence*10)`
+    * calibration buckets (accuracy of predictions within each confidence
+    * decile — the reference's `_get_probability_distribution`).
+    *
+    * Input columns: y_true, y_pred (strings), confidence (double).
+    * Output: tall frame (scope, metric, value) — everything downstream of
+    * one small confusion-matrix aggregation, so the only full-data shuffle
+    * is the (y_true, y_pred) groupBy (partial-agg friendly) plus the tiny
+    * bucket groupBy.
+    */
+  def classifierMetrics(df: DataFrame, noLabel: String = "NO_LABEL"): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col("y_true"), col("y_pred"), col("confidence"))
+      .withColumn("hit", (col("y_true") === col("y_pred")).cast("long"))
+    val cm = base.groupBy("y_true", "y_pred")
+      .agg(count(lit(1)).as("n")).persist()
+
+    def generalRows(m: DataFrame, scope: String): DataFrame = {
+      val total = m.agg(sum("n").as("nn"), sum(when(col("y_true") === col("y_pred"), col("n")).otherwise(lit(0L))).as("ok"))
+      // per-class recall over classes present in y_true (sklearn
+      // balanced_accuracy_score), per-class f1 weighted by support
+      val byTrue = m.groupBy(col("y_true").as("lbl"))
+        .agg(sum("n").as("support"),
+          sum(when(col("y_true") === col("y_pred"), col("n")).otherwise(lit(0L))).as("tp"))
+      val byPred = m.groupBy(col("y_pred").as("lbl")).agg(sum("n").as("predicted"))
+      val perClass = byTrue.join(byPred, Seq("lbl"), "left")
+        .withColumn("predicted", coalesce(col("predicted"), lit(0L)))
+        .withColumn("recall", col("tp") / col("support"))
+        .withColumn("f1",
+          when(col("tp") === 0, lit(0.0)).otherwise(
+            col("tp") * 2.0 / (col("support") + col("predicted"))))
+      val balanced = perClass.agg(
+        avg("recall").as("bal"),
+        (sum(col("f1") * col("support")) / sum(col("support"))).as("wf1"))
+      total.crossJoin(balanced).select(
+        lit(scope).as("scope"),
+        array(
+          struct(lit("accuracy").as("metric"), round(col("ok") / col("nn"), 6).as("value")),
+          struct(lit("balanced_accuracy").as("metric"), round(col("bal"), 6).as("value")),
+          struct(lit("weighted_f1").as("metric"), round(col("wf1"), 6).as("value")),
+          struct(lit("n").as("metric"), col("nn").cast("double").as("value"))).as("ms"))
+        .select(col("scope"), explode(col("ms")).as("m"))
+        .select(col("scope"), col("m.metric"), col("m.value"))
+    }
+
+    // per-label precision/recall/f1/support over labels present on either side
+    val labels = cm.select(col("y_true").as("lbl")).union(cm.select(col("y_pred"))).distinct()
+    val tps = cm.filter(col("y_true") === col("y_pred"))
+      .select(col("y_true").as("lbl"), col("n").as("tp"))
+    val trues = cm.groupBy(col("y_true").as("lbl")).agg(sum("n").as("support"))
+    val preds = cm.groupBy(col("y_pred").as("lbl")).agg(sum("n").as("predicted"))
+    val perLabel = labels.join(tps, Seq("lbl"), "left").join(trues, Seq("lbl"), "left")
+      .join(preds, Seq("lbl"), "left")
+      .na.fill(0L, Seq("tp", "support", "predicted"))
+      .withColumn("precision", when(col("predicted") === 0, lit(0.0)).otherwise(col("tp") / col("predicted")))
+      .withColumn("recall", when(col("support") === 0, lit(0.0)).otherwise(col("tp") / col("support")))
+      .withColumn("f1", when(col("support") + col("predicted") === 0, lit(0.0))
+        .otherwise(col("tp") * 2.0 / (col("support") + col("predicted"))))
+      .select(concat(lit("label:"), col("lbl")).as("scope"),
+        array(
+          struct(lit("precision").as("metric"), round(col("precision"), 6).as("value")),
+          struct(lit("recall").as("metric"), round(col("recall"), 6).as("value")),
+          struct(lit("f1").as("metric"), round(col("f1"), 6).as("value")),
+          struct(lit("support").as("metric"), col("support").cast("double").as("value"))).as("ms"))
+      .select(col("scope"), explode(col("ms")).as("m"))
+      .select(col("scope"), col("m.metric"), col("m.value"))
+
+    val calib = base.withColumn("bucket", floor(col("confidence") * 10).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), avg(col("hit")).as("acc"))
+      .select(concat(lit("calib:"), col("bucket")).as("scope"),
+        array(
+          struct(lit("n").as("metric"), col("n").cast("double").as("value")),
+          struct(lit("accuracy").as("metric"), round(col("acc"), 6).as("value"))).as("ms"))
+      .select(col("scope"), explode(col("ms")).as("m"))
+      .select(col("scope"), col("m.metric"), col("m.value"))
+
+    val general = generalRows(cm, "general")
+    val filtered = generalRows(
+      cm.filter(!(col("y_true") === noLabel && col("y_pred") === noLabel)), "general_filtered")
+    general.union(filtered).union(perLabel).union(calib)
+  }
+
   final case class Calc(tp: Long, fp: Long, fn: Long, tn: Long) {
     def precision: Option[Double] = if (tp + fp == 0) None else Some(tp.toDouble / (tp + fp))
     def recall: Option[Double] = if (tp + fn == 0) None else Some(tp.toDouble / (tp + fn))

@@ -1,0 +1,230 @@
+package graft.engine
+
+import graft.core.{Features, Geometry, Span}
+import org.apache.spark.sql.Dataset
+
+/** X8 feature orchestration: the assembled per-span feature frame — the
+  * reference's central training/inference data product
+  * (information_extraction.py:1345-1647 `process_document_data`). For each
+  * span the frame holds, in load-bearing column order:
+  *
+  *   - 51 string features of the span text (X1, `convert_to_feat`)
+  *   - 6 absolute spatial features x0,y0,x1,y1,page_index,area_quadrant_two
+  *     (X2; information_extraction.py:1624, data.py:1070-1081)
+  *   - nLeft + nRight neighbor x-distances `l_dist*`/`r_dist*` (X4; plus
+  *     `l_pos*`/`r_pos*` when the cross-line variant is on,
+  *     information_extraction.py:1377-1380)
+  *   - 51 string features per neighbor (X5, prefixes l0_, l1_, r0_, ...)
+  *   - relative_position_in_page (page_index / n_pages)
+  *   - the first word's box first_word_x0,y0,x1,y1 (X3;
+  *     information_extraction.py:1640-1645 — only the box coordinates enter
+  *     the feature list; the first-word string features are computed by the
+  *     reference but never appended to it)
+  *
+  * Width contract (tests/trainer/test_information_extraction.py:296-299,
+  * 345-351): 270 columns at n_nearest=2, 1102 at n_nearest=10,
+  * featureNames(42) == "feat_substring_count_h", last == "first_word_y1".
+  *
+  * The kernel is pure per-document Scala and runs inside `mapPartitions` —
+  * the frame for 10^12 spans is one narrow shuffle-free pass.
+  */
+object FeatureFrame {
+
+  val PadDistance = 100000.0
+
+  /** The ordered feature-name contract of the assembled frame. */
+  def featureNames(
+      nLeft: Int = 2, nRight: Int = 2,
+      firstWord: Boolean = true, acrossLines: Boolean = false): Vector[String] = {
+    val base = Features.featureNames
+    val lKeys = (0 until nLeft).map(i => s"l_dist$i") ++
+      (if (acrossLines) (0 until nLeft).map(i => s"l_pos$i") else Seq.empty)
+    val rKeys = (0 until nRight).map(i => s"r_dist$i") ++
+      (if (acrossLines) (0 until nRight).map(i => s"r_pos$i") else Seq.empty)
+    val relStrings = (0 until nLeft).flatMap(i => base.map(n => s"l${i}_$n")) ++
+      (0 until nRight).flatMap(i => base.map(n => s"r${i}_$n"))
+    base ++
+      Vector("x0", "y0", "x1", "y1", "page_index", "area_quadrant_two") ++
+      lKeys ++ rKeys ++ relStrings ++
+      Vector("relative_position_in_page") ++
+      (if (firstWord) Vector("first_word_x0", "first_word_y0", "first_word_x1", "first_word_y1")
+       else Vector.empty)
+  }
+
+  def width(nLeft: Int = 2, nRight: Int = 2,
+      firstWord: Boolean = true, acrossLines: Boolean = false): Int =
+    featureNames(nLeft, nRight, firstWord, acrossLines).length
+
+  final case class Row(start: Int, end: Int, offsetString: String, features: Array[Double])
+
+  private final case class Neighbor(text: String, dist: Double, pos: Int)
+  private val Pad = Neighbor("", PadDistance, 0)
+
+  /** Assemble the frame for one document. `candidates` are the line-token
+    * spans (the reference re-tokenizes each span's line; passing the
+    * document's whitespace tokens is equivalent for whitespace pipelines),
+    * `targets` the spans to featurize — both sorted by start. Targets whose
+    * interval holds no boxed (non-space) character are skipped, mirroring
+    * the reference's page_index-is-None row drop
+    * (information_extraction.py:1594-1596).
+    */
+  def assembleDoc(
+      text: String,
+      chars: IndexedSeq[Geometry.CharBox],
+      candidates: IndexedSeq[Span],
+      targets: IndexedSeq[Span],
+      nLeft: Int = 2, nRight: Int = 2,
+      firstWord: Boolean = true,
+      acrossLines: Boolean = false): Vector[Row] = {
+    if (text.isEmpty || targets.isEmpty) return Vector.empty
+
+    // O(1) char-box lookup by offset (chars skip \n/\f, so index != offset)
+    val byOff = new Array[Geometry.CharBox](text.length)
+    chars.foreach(cb => if (cb.offset < text.length) byOff(cb.offset) = cb)
+
+    def boxOf(sp: Span): Geometry.Box = {
+      var x0 = Double.MaxValue; var y0 = Double.MaxValue
+      var x1 = Double.MinValue; var y1 = Double.MinValue
+      var page = -1; var found = false
+      var i = sp.start
+      val lim = math.min(sp.end, text.length)
+      while (i < lim) {
+        val cb = byOff(i)
+        if (cb != null && cb.ch != ' ') {
+          found = true
+          if (cb.x0 < x0) x0 = cb.x0
+          if (cb.y0 < y0) y0 = cb.y0
+          if (cb.x1 > x1) x1 = cb.x1
+          if (cb.y1 > y1) y1 = cb.y1
+          if (page < 0) page = cb.page
+        }
+        i += 1
+      }
+      if (found) Geometry.Box(x0, x1, y0, y1, page, -1) else null
+    }
+
+    // lines: \f counts as a line break too (text.replace('\f','\n').split('\n'))
+    val lines = {
+      val out = Vector.newBuilder[Span]
+      var s = 0; var i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == '\n' || text.charAt(i) == '\f') {
+          out += Span(s, i); s = i + 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val nPages = text.count(_ == '\f') + 1
+
+    // candidates grouped per line, each with its box (computed once)
+    val candBox = candidates.map(boxOf)
+    val candLine = candidates.map { sp =>
+      lines.indexWhere(l => l.start <= sp.end && l.end >= sp.start)
+    }
+    val byLine: Map[Int, Vector[Int]] =
+      candidates.indices.toVector.groupBy(candLine).withDefaultValue(Vector.empty)
+
+    val firstBox: Geometry.Box =
+      candidates.indices.iterator.map(candBox).find(_ != null).orNull
+
+    val base = Features.featureNames.length
+    val w = width(nLeft, nRight, firstWord, acrossLines)
+
+    val out = Vector.newBuilder[Row]
+    targets.foreach { span =>
+      val tBox = boxOf(span)
+      if (tBox != null) {
+        val lineNum = lines.indexWhere(l => l.start <= span.end && l.end >= span.start)
+        // same-line neighbors: left = candidates ending at-or-before the span
+        // start, distance is the bbox x-gap (information_extraction.py:1494-1503)
+        var lList = List.empty[Neighbor]
+        var rList = List.empty[Neighbor]
+        byLine(lineNum).foreach { ci =>
+          val c = candidates(ci); val cb = candBox(ci)
+          if (cb != null) {
+            if (c.end <= span.start)
+              lList ::= Neighbor(text.substring(c.start, c.end), tBox.x0 - cb.x1, 0)
+            else if (c.start >= span.end)
+              rList ::= Neighbor(text.substring(c.start, c.end), cb.x0 - tBox.x1, 0)
+          }
+        }
+        var lFinal = lList.sortBy(_.dist).take(nLeft).toVector
+        var rFinal = rList.sortBy(_.dist).take(nRight).toVector
+        if (acrossLines) {
+          // probe previous/next lines until enough candidates accumulate
+          // (information_extraction.py:1506-1543); dist = min coordinate gap
+          def probe(step: Int, need: Int): Vector[Neighbor] = {
+            val acc = Vector.newBuilder[Neighbor]
+            var n = 0
+            var i = 1
+            var ln = lineNum + step
+            while (ln >= 0 && ln < lines.length && n < need) {
+              byLine(ln).foreach { ci =>
+                val cb = candBox(ci)
+                if (cb != null) {
+                  val c = candidates(ci)
+                  val d = Seq(math.abs(tBox.x0 - cb.x0), math.abs(tBox.x0 - cb.x1),
+                    math.abs(tBox.x1 - cb.x0), math.abs(tBox.x1 - cb.x1)).min
+                  acc += Neighbor(text.substring(c.start, c.end), d, i * step)
+                  n += 1
+                }
+              }
+              i += 1
+              ln += step
+            }
+            acc.result()
+          }
+          // the reference appends prev-line candidates reversed after the
+          // same-line nsmallest, then truncates (py:1545-1560)
+          lFinal = (lFinal ++ probe(-1, nLeft - lFinal.length).reverse).take(nLeft)
+          rFinal = (rFinal ++ probe(+1, nRight - rFinal.length)).take(nRight)
+        }
+        lFinal = lFinal.padTo(nLeft, Pad)
+        rFinal = rFinal.padTo(nRight, Pad)
+
+        val f = new Array[Double](w)
+        var k = 0
+        def put(v: Double): Unit = { f(k) = v; k += 1 }
+        val s = text.substring(span.start, span.end)
+        Features.convertToFeat(s).foreach(put)
+        put(tBox.x0); put(tBox.y0); put(tBox.x1); put(tBox.y1)
+        put(tBox.page); put(tBox.x0 * tBox.y0)
+        lFinal.foreach(nb => put(nb.dist))
+        if (acrossLines) lFinal.foreach(nb => put(nb.pos))
+        rFinal.foreach(nb => put(nb.dist))
+        if (acrossLines) rFinal.foreach(nb => put(nb.pos))
+        lFinal.foreach(nb => Features.convertToFeat(nb.text).foreach(put))
+        rFinal.foreach(nb => Features.convertToFeat(nb.text).foreach(put))
+        put(tBox.page.toDouble / nPages)
+        if (firstWord && firstBox != null) {
+          put(firstBox.x0); put(firstBox.y0); put(firstBox.x1); put(firstBox.y1)
+        } else if (firstWord) {
+          put(0); put(0); put(0); put(0)
+        }
+        assert(k == w, s"assembled $k features, contract says $w")
+        out += Row(span.start, span.end, s, f)
+      }
+    }
+    out.result()
+  }
+
+  final case class SpanFrameRow(
+      url: String, start: Int, end: Int, offset_string: String, features: Array[Double])
+
+  /** The frame over extraction output: every token span featurized against
+    * the document's token candidates on the synthetic char grid (real PDF
+    * boxes plug in through the same [[Geometry.CharBox]] shape — see
+    * [[Ingest.charBoxes]]). One narrow mapPartitions, zero shuffle.
+    */
+  def forDocs(ds: Dataset[ExtractedDoc], nLeft: Int = 2, nRight: Int = 2): Dataset[SpanFrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { doc =>
+      val text = doc.extracted_text
+      val cands: IndexedSeq[Span] = doc.spans.map(s => Span(s.start, s.end)).toIndexedSeq
+      assembleDoc(text, Geometry.syntheticCharBoxes(text), cands, cands, nLeft, nRight)
+        .map(r => SpanFrameRow(doc.url, r.start, r.end, r.offsetString, r.features))
+    })
+  }
+}

@@ -1,0 +1,81 @@
+package graft.engine
+
+import graft.core.Geometry
+
+/** S3 char-bbox ingestion: parse per-character bounding-box arrays (the
+  * OCR payload) into validated [[Geometry.CharBox]] rows. Semantics follow
+  * data.py:2097-2120 (`Document.bboxes`) and the `Bbox._valid` rules
+  * (data.py:261-340):
+  *
+  *  - identity: the box's character must equal the document text at that
+  *    offset, unless the box char is ' ', '\n' or '\f'
+  *  - geometry: non-negative width/height (strict mode also rejects zero),
+  *    non-negative coordinates, inside the page bounds
+  *  - `page_number` arrives 1-based (bbox.json5 contract) and is stored
+  *    0-based
+  *
+  * Pure per-document kernel — runs inside mapPartitions as a filter stage in
+  * front of the geometry/feature operators; a corrupted payload fails the
+  * document (Left), never poisons the partition.
+  */
+object Ingest {
+
+  final case class CharBoxPayload(
+      offsets: Array[Int],
+      chars: String, // box-provided characters, parallel to offsets
+      pageNumbers: Array[Int], // 1-based
+      lineNumbers: Array[Int], // 1-based within page
+      x0: Array[Double], x1: Array[Double],
+      y0: Array[Double], y1: Array[Double])
+
+  /** Validate and convert one document's payload. Left = first violation,
+    * with the reference's error vocabulary.
+    */
+  def validatedCharBoxes(
+      text: String,
+      p: CharBoxPayload,
+      pageWidth: Double = 612.0,
+      pageHeight: Double = 792.0,
+      strict: Boolean = false): Either[String, Vector[Geometry.CharBox]] = {
+    val n = p.offsets.length
+    if (p.chars.length != n || p.pageNumbers.length != n || p.lineNumbers.length != n ||
+        p.x0.length != n || p.x1.length != n || p.y0.length != n || p.y1.length != n)
+      return Left(s"ragged payload: $n offsets vs ${p.chars.length} chars")
+    val out = Vector.newBuilder[Geometry.CharBox]
+    var i = 0
+    while (i < n) {
+      val off = p.offsets(i)
+      val boxChar = p.chars.charAt(i)
+      if (off < 0 || off >= text.length)
+        return Left(s"offset $off outside document text of length ${text.length}")
+      val docChar = text.charAt(off)
+      if (boxChar != ' ' && boxChar != '\f' && boxChar != '\n' && boxChar != docChar)
+        return Left(s"""Bbox provides character "$boxChar" document text refers to "$docChar" at offset $off""")
+      val (bx0, bx1, by0, by1) = (p.x0(i), p.x1(i), p.y0(i), p.y1(i))
+      if (bx0 > bx1) return Left(s"bbox at offset $off has negative width")
+      if (by0 > by1) return Left(s"bbox at offset $off has negative height")
+      if (strict && bx0 == bx1) return Left(s"bbox at offset $off has no width")
+      if (strict && by0 == by1) return Left(s"bbox at offset $off has no height")
+      if (bx0 < 0 || by0 < 0) return Left(s"bbox at offset $off has negative coordinate")
+      if (bx1 > pageWidth) return Left(s"bbox at offset $off exceeds page width")
+      if (by1 > pageHeight) return Left(s"bbox at offset $off exceeds page height")
+      if (p.pageNumbers(i) < 1) return Left(s"bbox at offset $off has non-positive page_number")
+      out += Geometry.CharBox(off, boxChar, p.pageNumbers(i) - 1, p.lineNumbers(i),
+        bx0, bx1, by0, by1)
+      i += 1
+    }
+    Right(out.result())
+  }
+
+  /** Payload constructor from char boxes (round-trip helper for tests and
+    * for staging synthetic OCR payloads through the real validation path).
+    */
+  def payloadOf(chars: Seq[Geometry.CharBox]): CharBoxPayload =
+    CharBoxPayload(
+      chars.map(_.offset).toArray,
+      chars.map(_.ch).mkString,
+      chars.map(_.page + 1).toArray,
+      chars.map(_.line).toArray,
+      chars.map(_.x0).toArray, chars.map(_.x1).toArray,
+      chars.map(_.y0).toArray, chars.map(_.y1).toArray)
+}

@@ -1,0 +1,98 @@
+package graft.engine
+
+import graft.core.{Geometry, Span}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X8 assembled feature frame: width/order contract of the reference
+  * (tests/trainer/test_information_extraction.py:296-299, 345-351) plus a
+  * hand-computed golden row on the synthetic char grid.
+  */
+class FeatureFrameSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("width and order contract: 270 at n=2, 1102 at n=10") {
+    val names2 = FeatureFrame.featureNames(2, 2)
+    assert(names2.length == 270)
+    assert(names2(42) == "feat_substring_count_h")
+    assert(names2.last == "first_word_y1")
+    assert(names2.distinct.length == names2.length) // no duplicate columns
+    val names10 = FeatureFrame.featureNames(10, 10)
+    assert(names10.length == 1102)
+    assert(names10.last == "first_word_y1")
+    // cross-line variant adds l_pos*/r_pos* keys after the dist keys
+    val across = FeatureFrame.featureNames(2, 2, acrossLines = true)
+    assert(across.length == 274)
+    assert(across.indexOf("l_pos0") == across.indexOf("l_dist1") + 1)
+  }
+
+  private val text = "ab cd ef\nxy z 12,3"
+  private val tokens = IndexedSeq(Span(0, 2), Span(3, 5), Span(6, 8), Span(9, 11), Span(12, 13), Span(14, 18))
+  private val chars = Geometry.syntheticCharBoxes(text)
+  private def idx(name: String, names: Vector[String]) = {
+    val i = names.indexOf(name); assert(i >= 0, s"$name missing"); i
+  }
+
+  test("hand-computed golden row on the synthetic grid") {
+    val names = FeatureFrame.featureNames(2, 2)
+    val rows = FeatureFrame.assembleDoc(text, chars, tokens, tokens)
+    assert(rows.length == tokens.length)
+    val cd = rows(1)
+    assert(cd.offsetString == "cd")
+    val f = cd.features
+    assert(f.length == 270)
+    def v(n: String) = f(idx(n, names))
+    // string features of "cd"
+    assert(v("feat_len") == 2.0 && v("feat_vowel_len") == 0.0 && v("feat_substring_count_c") == 1.0)
+    // grid box: cols 3-4 on line 1 -> x0=18, x1=30, y in [782,792]
+    assert(v("x0") == 18.0 && v("x1") == 30.0 && v("y0") == 782.0 && v("y1") == 792.0)
+    assert(v("page_index") == 0.0 && v("area_quadrant_two") == 18.0 * 782.0)
+    // same-line neighbors: ab at gap 6, ef at gap 6; second slots padded
+    assert(v("l_dist0") == 6.0 && v("l_dist1") == FeatureFrame.PadDistance)
+    assert(v("r_dist0") == 6.0 && v("r_dist1") == FeatureFrame.PadDistance)
+    assert(v("l0_feat_len") == 2.0 && v("l1_feat_len") == 0.0)
+    assert(v("r0_feat_len") == 2.0)
+    // single page, first word = "ab" box
+    assert(v("relative_position_in_page") == 0.0)
+    assert(v("first_word_x0") == 0.0 && v("first_word_y0") == 782.0)
+    assert(v("first_word_x1") == 12.0 && v("first_word_y1") == 792.0)
+  }
+
+  test("second-line target uses its own line's neighbors and geometry") {
+    val names = FeatureFrame.featureNames(2, 2)
+    val rows = FeatureFrame.assembleDoc(text, chars, tokens, tokens)
+    val z = rows(4)
+    assert(z.offsetString == "z")
+    def v(n: String) = z.features(idx(n, names))
+    // line 2: col 3 -> x0=18; y drops one 12-unit line
+    assert(v("x0") == 18.0 && v("y1") == 780.0 && v("y0") == 770.0)
+    assert(v("l_dist0") == 6.0 && v("r_dist0") == 6.0) // xy and 12,3
+    assert(v("l0_feat_len") == 2.0) // "xy"
+    assert(v("r0_feat_num_count") == 12.3) // "12,3" normalizes
+    // the number token carries its normalized value in its own row
+    def vn(n: String) = rows(5).features(idx(n, names))
+    assert(vn("feat_num_count") == 12.3 && vn("feat_substring_count_comma") == 1.0)
+  }
+
+  test("cross-line variant probes adjacent lines with pos offsets") {
+    val names = FeatureFrame.featureNames(3, 3, acrossLines = true)
+    val rows = FeatureFrame.assembleDoc(text, chars, tokens, tokens,
+      nLeft = 3, nRight = 3, acrossLines = true)
+    val z = rows(4)
+    def v(n: String) = z.features(idx(n, names))
+    // same-line left = xy (pos 0); the rest come from line 1, reversed
+    assert(v("l_dist0") == 6.0 && v("l_pos0") == 0.0)
+    assert(v("l_pos1") == -1.0 && v("l_pos2") == -1.0)
+    assert(v("l1_feat_len") == 2.0) // "ef" (line-1 candidates reversed)
+  }
+
+  test("frame over extraction output is deterministic across partitionings") {
+    import spark.implicits._
+    val a = FeatureFrame.forDocs(Extraction.extract(Extraction.syntheticPages(spark, 40, 2))).collect()
+    val b = FeatureFrame.forDocs(Extraction.extract(Extraction.syntheticPages(spark, 40, 7))).collect()
+    def key(r: FeatureFrame.SpanFrameRow) = (r.url, r.start, r.end)
+    val am = a.map(r => key(r) -> r.features.toSeq).toMap
+    val bm = b.map(r => key(r) -> r.features.toSeq).toMap
+    assert(am == bm)
+    assert(a.nonEmpty && a.forall(_.features.length == 270))
+  }
+}
