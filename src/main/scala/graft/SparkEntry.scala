@@ -505,30 +505,38 @@ object SparkEntry {
         .orderBy(col("label_id"))
     }),
     "q40_neighbors" -> ((s, dir) => {
-      // X4: per labeled span, nearest same-line tokens left/right
+      // X4 over the documents table: every 5th whitespace token is a target;
+      // the oracle recomputes the same-line left/right gaps via lag/lead
+      // window functions over independently derived token offsets.
       import s.implicits._
-      Extraction.extract(Extraction.syntheticPages(s, 100, 8))
-        .flatMap { doc =>
-          val toks = doc.spans.map(sp => graft.core.Span(sp.start, sp.end)).toIndexedSeq
-          doc.labels.toSeq.map { l =>
-            val (left, right) = Neighbors.nNearest(doc.extracted_text, toks, graft.core.Span(l.start, l.end), 2)
-            (doc.url, l.label, l.start, left(0).text, left(0).distance, right(0).text, right(0).distance)
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val toks = Rx.tokenSpans(text, Tokenizers.whitespace).toIndexedSeq
+          toks.indices.iterator.collect { case ti if ti % 5 == 2 =>
+            val (l, r) = Neighbors.nNearest(text, toks, toks(ti), 2)
+            (id, toks(ti).start.toLong, l(0).text, l(0).distance.toLong, l(1).distance.toLong,
+              r(0).text, r(0).distance.toLong, r(1).distance.toLong)
           }
-        }
-        .toDF("url", "label", "start", "l1_text", "l1_dist", "r1_text", "r1_dist")
-        .orderBy(col("url"), col("start"))
+        })
+        .toDF("doc_id", "t_start", "l1_text", "l1_dist", "l2_dist", "r1_text", "r1_dist", "r2_dist")
+        .orderBy(col("doc_id"), col("t_start"))
     }),
     "q41_bio_export" -> ((s, dir) => {
-      // S7: BIO rows from extraction output
+      // S7 over the documents table: whitespace tokens tagged against the
+      // closed-form annotation grid [200j, 200j+100) labeled L(j%3); the
+      // oracle recomputes containment and the B/I transition in SQL.
       import s.implicits._
-      Extraction.extract(Extraction.syntheticPages(s, 50, 4))
-        .flatMap { doc =>
-          val toks = doc.spans.map(sp => graft.core.Span(sp.start, sp.end)).toIndexedSeq
-          val labels = doc.labels.toSeq.map(l => (l.label, graft.core.Span(l.start, l.end)))
-          Bio.tag(doc.extracted_text, toks, labels).map(b => (doc.url, b.index, b.token, b.tag))
-        }
-        .toDF("url", "token_index", "token", "tag")
-        .orderBy(col("url"), col("token_index"))
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val toks = Rx.tokenSpans(text, Tokenizers.whitespace).toIndexedSeq
+          val n = text.length
+          val labels = (0 until n by 200).map { st =>
+            (s"L${(st / 200) % 3}", Span(st, math.min(st + 100, n)))
+          }
+          Bio.tag(text, toks, labels).map(b => (id, b.index.toLong, b.token, b.tag))
+        })
+        .toDF("doc_id", "token_index", "token", "tag")
+        .orderBy(col("doc_id"), col("token_index"))
     }),
     "q42_clf_metrics" -> ((s, dir) => {
       // E8 full classifier metrics (information_extraction.py:2977-3132):
@@ -567,20 +575,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("start_offset"))
     }),
     "q44_stream_extract" -> ((s, dir) => {
-      // Structured Streaming flagship: stream the corpus through the full
-      // extraction pipeline (typed mapPartitions inside a stream), count
-      // labels per doc in the sink
+      // Structured Streaming flagship: stream the REAL documents table
+      // through the extraction pipeline (typed mapPartitions inside a
+      // stream); the oracle checks tokens + sha256 per document in DuckDB.
+      // The memory sink is an oracle surface only — the production sink is
+      // a checkpointed file/Kafka sink (PLANS.md).
       import s.implicits._
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream_pages")
-      Extraction.syntheticPages(s, 300, 4).write.parquet(stage.toString + "/batch")
-      val schema = s.read.parquet(stage.toString + "/batch").schema
-      val stream = s.readStream.schema(schema).parquet(stage.toString + "/batch").as[PageRow]
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve("documents.parquet"))
+      val schema = s.read.parquet(stage.toString).schema
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => PageRow(id.toString, null, Array.empty[Byte], text, "") }
       val extracted = stream.mapPartitions(_.map(Extraction.extractOne))
-        .select(col("url"), col("n_tokens"), size(col("labels")).as("n_labels"), col("text_sha256"))
+        .select(col("url").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("text_sha256"))
       val qname = "graft_stream_extract_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = extracted.writeStream.outputMode("append").format("memory").queryName(qname).start()
       q.processAllAvailable(); q.stop()
-      s.table(qname).orderBy(col("url"))
+      s.table(qname).orderBy(col("doc_id"))
     }),
     "q45_salted_agg" -> ((s, dir) => {
       // skew handling: salted two-phase aggregation over a hot key
@@ -747,6 +761,77 @@ object SparkEntry {
         | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
         | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_langid" ->
+      // the oracle replicates LangId.detect exactly on this corpus: stopword
+      // hits per language profile, argmax with lexicographic tie-break,
+      // 'und' when nothing scores (the CJK branch cannot fire on [a-z ]
+      // text, and no document reaches the 200-token cap — both verified)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ts, x -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','für','auf','den','von','zu','sich','des','im','dem','auch','es','an','werden','aus'], x))) AS s_de,
+        |    len(list_filter(ts, x -> list_contains(['the','and','of','to','in','is','that','it','was','for','on','are','with','as','at','this','but','by','from','they','you','have','not','be'], x))) AS s_en,
+        |    len(list_filter(ts, x -> list_contains(['el','la','los','las','de','y','es','un','una','del','que','en','por','con','no','se','su','para','como','más','pero','sus','le','ha'], x))) AS s_es,
+        |    len(list_filter(ts, x -> list_contains(['le','la','les','de','des','et','est','un','une','du','que','qui','dans','pour','pas','sur','au','avec','ne','se','ce','il','sont','par'], x))) AS s_fr,
+        |    len(list_filter(ts, x -> list_contains(['il','la','di','che','e','è','un','una','per','non','sono','con','si','del','della','le','nel','da','al','come','dei','anche','più','ma'], x))) AS s_it,
+        |    len(list_filter(ts, x -> list_contains(['de','het','een','en','van','is','dat','op','te','zijn','voor','met','die','niet','aan','er','om','ook','als','maar','bij','dan','uit','naar'], x))) AS s_nl,
+        |    len(list_filter(ts, x -> list_contains(['o','a','os','as','de','e','é','um','uma','do','da','que','em','para','não','com','se','por','mais','dos','como','mas','ao','das'], x))) AS s_pt
+        |  FROM toks),
+        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it, s_nl, s_pt) AS mx FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN mx = 0 THEN 'und'
+        |       WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+        |       WHEN s_fr = mx THEN 'fr' WHEN s_it = mx THEN 'it' WHEN s_nl = mx THEN 'nl'
+        |       ELSE 'pt' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q40_neighbors" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, ps[i] AS tok,
+        |    CAST(COALESCE(sum(length(ps[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s
+        |  FROM parts JOIN nums ON i <= len(ps)),
+        |pos AS (SELECT doc_id, i, tok, s, s + length(tok) AS e FROM tok WHERE tok <> ''),
+        |nbr AS (
+        |  SELECT doc_id, i, tok, s, e,
+        |    lag(tok) OVER w AS l1t, lag(e) OVER w AS l1e, lag(e, 2) OVER w AS l2e,
+        |    lead(tok) OVER w AS r1t, lead(s) OVER w AS r1s, lead(s, 2) OVER w AS r2s
+        |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        |SELECT doc_id, CAST(s AS BIGINT) AS t_start,
+        |  COALESCE(l1t, '') AS l1_text,
+        |  CAST(COALESCE(s - l1e, 100000) AS BIGINT) AS l1_dist,
+        |  CAST(COALESCE(s - l2e, 100000) AS BIGINT) AS l2_dist,
+        |  COALESCE(r1t, '') AS r1_text,
+        |  CAST(COALESCE(r1s - e, 100000) AS BIGINT) AS r1_dist,
+        |  CAST(COALESCE(r2s - e, 100000) AS BIGINT) AS r2_dist
+        |FROM nbr WHERE i % 5 = 3 ORDER BY doc_id, t_start""".stripMargin,
+    "q41_bio_export" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, ps[i] AS tok,
+        |    CAST(COALESCE(sum(length(ps[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s
+        |  FROM parts JOIN nums ON i <= len(ps)),
+        |pos AS (
+        |  SELECT doc_id, i, tok, s, s + length(tok) AS e,
+        |    CAST(floor(s / 200) AS INT) AS j
+        |  FROM tok WHERE tok <> ''),
+        |c AS (SELECT *, (e <= 200 * j + 100) AS contained FROM pos)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS token_index, tok AS token,
+        |  CASE WHEN NOT contained THEN 'O'
+        |       WHEN row_number() OVER (PARTITION BY doc_id, j, contained ORDER BY i) = 1
+        |         THEN 'B-L' || CAST(j % 3 AS VARCHAR)
+        |       ELSE 'I-L' || CAST(j % 3 AS VARCHAR) END AS tag
+        |FROM c ORDER BY doc_id, token_index""".stripMargin,
+    "q44_stream_extract" ->
+      """SELECT doc_id,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(text) AS text_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q20_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
