@@ -247,11 +247,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q47_ann_ivf" -> ((s, dir) => {
+      // IVF with the quantizer OUT of the query path: the index is built
+      // once per corpus (AnnIndexJob; deterministic local k-means over a
+      // take-ordered sample) and cached — the query plan is a single corpus
+      // scan + probe, no ML stage.
       import s.implicits._
       val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
       val queries = corpus.filter(_._1 < 10).collect().sortBy(_._1)
-      Similarity.ivfTopK(corpus, queries, 5).toDF()
+      val index = graft.jobs.AnnIndexJob.cachedIndex(s"$dir/embeddings", corpus)
+      Similarity.ivfTopK(corpus, queries, 5, index, nProbe = 3).toDF()
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -277,12 +282,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q24_extract_entities" -> ((s, dir) => {
-      // full html path over the synthetic corpus; per-label counts
-      Extraction.extractDF(s, 200, 8)
-        .select(col("url"), explode(col("labels")).as("l"))
-        .groupBy(col("l.label").as("label"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("url")).as("n_docs"))
-        .orderBy(col("label"))
+      // end-to-end extraction with closed-form ground truth: construct an
+      // entity-bearing invoice line per lineitem row, run the FULL pipeline
+      // (tokenize -> score -> normalize -> percent-sign attach -> merge),
+      // and let the oracle enumerate the exact expected entities. Exercises
+      // number/amount/date/percent/email labeling plus the "7 %" two-token
+      // percent attachment.
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          date_format(col("l_shipdate"), "dd.MM.yyyy").as("gdate"),
+          round(col("l_discount") * 100).cast("long").as("pct"))
+        .as[(Long, Int, Long, String, Long)]
+        .mapPartitions(_.flatMap { case (ok, ln, cents, gdate, pct) =>
+          // quantity stays 2-digit: 4/6/8-digit bare integers are
+          // date-shaped (year / positional formats) and would rightly be
+          // labeled date by the scorer
+          val text = s"Rechnung Anzahl ${ln * 7 + 3} Betrag ${cents / 100},${"%02d".format(cents % 100)} " +
+            s"am $gdate Rabatt $pct % Kontakt kunde$ok@firma.de"
+          val doc = Extraction.extractOne(PageRow(s"$ok", null, Array.empty[Byte], text, ""))
+          doc.labels.iterator.map { l =>
+            val numeric = l.label == "number" || l.label == "amount" || l.label == "percent"
+            (ok, ln, l.label, l.text,
+              if (numeric) l.normalized.toDouble else 0.0,
+              if (numeric) "" else l.normalized)
+          }
+        })
+        .toDF("l_orderkey", "l_linenumber", "label", "span_text", "norm_num", "norm_str")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("label"))
     }),
     "q25_normalize_number" -> ((s, dir) => {
       // N2 against an arithmetic oracle: German-formatted amounts round-trip
@@ -408,8 +436,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q33_multimodal" -> ((s, dir) => {
-      Multimodal.decodeFeatures(Multimodal.syntheticMedia(s, 500, 8)).toDF()
-        .select(col("media_id"), col("media_type"), col("n_bytes"), col("sha256"), col("frames_sampled"))
+      // multimodal plumbing with a content-complete oracle: the payload is
+      // emitted as hex so DuckDB can rebuild the exact bytes from the
+      // generator closed-form (sha256 stays engine-internal — DuckDB's
+      // sha256 is VARCHAR-only and can't hash raw blobs)
+      import s.implicits._
+      Multimodal.syntheticMedia(s, 500, 8)
+        .mapPartitions(_.map { row =>
+          val f = Multimodal.StubCodec.decode(row)
+          val hex = row.payload.map("%02x".format(_)).mkString
+          (f.media_id, f.media_type, f.n_bytes.toLong, hex, f.frames_sampled.toLong)
+        })
+        .toDF("media_id", "media_type", "n_bytes", "payload_hex", "frames_sampled")
         .orderBy(col("media_id"))
     }),
     "q34_geometry" -> ((s, dir) => {
@@ -855,6 +893,25 @@ object SparkEntry {
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
         | sha256(text) AS text_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_extract_entities" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    strftime(l_shipdate, '%d.%m.%Y') AS gdate,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS iso,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS pct
+        |  FROM lineitem)
+        |SELECT ok AS l_orderkey, ln AS l_linenumber, label, span_text, norm_num, norm_str FROM (
+        |  SELECT ok, ln, 'number' AS label, CAST(ln * 7 + 3 AS VARCHAR) AS span_text,
+        |    CAST(ln * 7 + 3 AS DOUBLE) AS norm_num, '' AS norm_str FROM li
+        |  UNION ALL SELECT ok, ln, 'amount',
+        |    CAST(cents // 100 AS VARCHAR) || ',' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0'),
+        |    cents / 100.0, '' FROM li
+        |  UNION ALL SELECT ok, ln, 'date', gdate, 0.0, iso FROM li
+        |  UNION ALL SELECT ok, ln, 'percent', CAST(pct AS VARCHAR) || ' %', pct / 100.0, '' FROM li
+        |  UNION ALL SELECT ok, ln, 'email', 'kunde' || CAST(ok AS VARCHAR) || '@firma.de', 0.0,
+        |    'kunde' || CAST(ok AS VARCHAR) || '@firma.de' FROM li)
+        |ORDER BY l_orderkey, l_linenumber, label""".stripMargin,
     "q25_normalize_number" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / 100 AS normalized
@@ -885,6 +942,26 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q33_multimodal" ->
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 500) t(i)),
+        |nums AS (SELECT CAST(j AS INT) AS j FROM range(0, 600) t(j)),
+        |m AS (
+        |  SELECT media_id,
+        |    CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    64 + (media_id % 512) AS n_bytes,
+        |    CASE WHEN media_id % 3 = 0 THEN 0 ELSE 1000 + (media_id % 9000) END AS dur
+        |  FROM ids),
+        |hexs AS (
+        |  SELECT media_id,
+        |    string_agg(lpad(lower(to_hex((media_id * 131 + j * 31) % 256)), 2, '0'), '' ORDER BY j) AS payload_hex
+        |  FROM m JOIN nums ON j < n_bytes GROUP BY media_id)
+        |SELECT m.media_id AS media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes, payload_hex,
+        |  CAST(CASE media_type
+        |    WHEN 'video' THEN greatest(1, CAST(floor(dur / 1000.0) AS BIGINT))
+        |    WHEN 'audio' THEN greatest(1, CAST(floor(dur / 100.0) AS BIGINT))
+        |    ELSE 1 END AS BIGINT) AS frames_sampled
+        |FROM m JOIN hexs ON m.media_id = hexs.media_id
+        |ORDER BY media_id""".stripMargin,
     "q34_geometry" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
         |d AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok,

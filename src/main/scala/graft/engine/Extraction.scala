@@ -75,6 +75,28 @@ object Extraction {
     }
   }
 
+  private val multilineLabels: Set[String] =
+    Labels.all.filter(_.multiline).map(_.name).toSet
+
+  /** M4 vertical merge in the flagship path (information_extraction.py:
+    * 3398-3408): for multiline-capable labels, stack extractions whose line
+    * boxes overlap in x with no foreign non-space character in the union
+    * box. Char boxes are built lazily and only when a document actually has
+    * >= 2 extractions of a multiline label — the common document pays
+    * nothing (hot-path discipline).
+    */
+  private[engine] def mergeVerticalForMultiline(
+      text: String, merged: Vector[Scorer.Scored]): Vector[Scorer.Scored] = {
+    if (multilineLabels.isEmpty) return merged
+    var mlCount = 0
+    merged.foreach(m => if (multilineLabels.contains(m.label)) mlCount += 1)
+    if (mlCount < 2) return merged
+    val (ml, rest) = merged.partition(m => multilineLabels.contains(m.label))
+    val chars = Geometry.syntheticCharBoxes(text)
+    val vertical = Merge.mergeVertical(text, chars, ml).map(_._1)
+    (rest ++ vertical).sortBy(r => (r.span.start, r.span.end, r.label))
+  }
+
   /** Extract one page row — pure function, the unit of determinism: the
     * output depends only on the row's bytes (byte-identical per url across
     * runs and parallelism levels).
@@ -86,7 +108,7 @@ object Extraction {
       else ""
     val packed = Rx.whitespaceTokensPacked(text)
     val scored = attachPercentSignsPacked(text, packed, Scorer.scorePacked(text, packed))
-    val merged = Merge.mergeHorizontal(text, scored)
+    val merged = mergeVerticalForMultiline(text, Merge.mergeHorizontal(text, scored))
     val spanArr = new Array[SpanT](packed.length)
     var si = 0
     while (si < packed.length) {

@@ -110,11 +110,17 @@ object Merge {
       val rows = group.toVector.sortBy(r => boxOf(r.span).map(-_.y0).getOrElse(0.0))
       var buffer = Vector.empty[Scorer.Scored]
       def flush(): Unit = if (buffer.nonEmpty) {
-        val sorted = buffer.sortBy(_.span.start)
-        val conf = buffer.map(_.confidence).sum / buffer.size
-        val mergedText = sorted.map(r => text.substring(r.span.start, r.span.end)).mkString("\n")
-        out += ((Scorer.Scored(Span(sorted.head.span.start, sorted.last.span.end), label, conf, mergedText),
-          sorted.map(_.span)))
+        if (buffer.size == 1) {
+          // a row that merged with nothing passes through untouched
+          // (normalized value and confidence preserved)
+          out += ((buffer.head, Vector(buffer.head.span)))
+        } else {
+          val sorted = buffer.sortBy(_.span.start)
+          val conf = buffer.map(_.confidence).sum / buffer.size
+          val mergedText = sorted.map(r => text.substring(r.span.start, r.span.end)).mkString("\n")
+          out += ((Scorer.Scored(Span(sorted.head.span.start, sorted.last.span.end), label, conf, mergedText),
+            sorted.map(_.span)))
+        }
         buffer = Vector.empty
       }
       def validVertical(row: Scorer.Scored): Boolean = {

@@ -55,7 +55,11 @@ object Labels {
   /** The engine's fixed web-entity label set (the scorer's classes). */
   val all: Vector[LabelDef] = Vector(
     LabelDef("date", "Date", 0.5),
-    LabelDef("amount", "Number", 0.5),
+    // amount is multiline-capable: invoice total columns stack amounts in a
+    // vertical block, which the reference merges via M4 (information_
+    // extraction.py:3398-3408); mid-sentence amounts never merge because
+    // the union box always contains foreign characters
+    LabelDef("amount", "Number", 0.5, multiline = true),
     LabelDef("percent", "Percentage", 0.5),
     LabelDef("number", "Number", 0.6),
     LabelDef("email", "Text", 0.5),

@@ -95,24 +95,84 @@ object Similarity {
       .as[Neighbor]
   }
 
-  /** IVF ANN: coarse k-means quantizer (deterministic seed); corpus is
-    * assigned to cells once (reusable index), each query probes its
-    * `nProbe` nearest centroids. The centroid table is tiny and broadcast;
-    * the corpus shuffles once on the cell id at index-build time.
+  /** Deterministic driver-side Lloyd's k-means over a bounded sample — the
+    * IVF coarse quantizer. The fit is O(sample x k x iters) on KB-scale
+    * data (a 2048x64 sample fits in L2), so index builds never launch a
+    * multi-stage ML job; at 100-TB scale the sample is a take-ordered head,
+    * not a corpus pass. Spread init over the (sorted) sample keeps the
+    * result identical on every run and parallelism level.
+    */
+  def localKMeans(vecs: Array[Array[Float]], k: Int, iters: Int = 15): Array[Array[Float]] = {
+    require(vecs.nonEmpty, "localKMeans: empty sample")
+    val n = vecs.length
+    val kk = math.max(1, math.min(k, n))
+    val dim = vecs(0).length
+    var centers = Array.tabulate(kk)(c => vecs(((c.toLong * n) / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        val v = vecs(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          val cv = centers(c)
+          while (j < dim) { val x = v(j) - cv(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centers(c) // empty cell keeps its center
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    centers
+  }
+
+  final case class IvfIndex(centroids: Array[Array[Float]])
+
+  /** Fit the quantizer from a deterministic sample (smallest `sampleCap`
+    * ids — a take-ordered head, no full shuffle).
+    */
+  def buildIvfIndexLocal(
+      corpus: Dataset[(Long, Array[Float])],
+      nCells: Int = 16, sampleCap: Int = 2048): IvfIndex = {
+    // sort by the id (first) column positionally — tuple Datasets derived
+    // from named DataFrames keep their original column names
+    val sample = corpus.orderBy(col(corpus.columns.head)).limit(sampleCap)
+      .collect().sortBy(_._1).map(_._2)
+    IvfIndex(localKMeans(sample, nCells))
+  }
+
+  /** Inline-fit convenience (tests, small corpora): build + probe. */
+  def ivfTopK(
+      corpus: Dataset[(Long, Array[Float])],
+      queries: Array[(Long, Array[Float])],
+      k: Int, nCells: Int, nProbe: Int): Dataset[Neighbor] =
+    ivfTopK(corpus, queries, k, buildIvfIndexLocal(corpus, nCells), nProbe)
+
+  /** IVF ANN against a prebuilt index (see [[graft.jobs.AnnIndexJob]]):
+    * each query probes its `nProbe` nearest centroids; the corpus is
+    * scanned once with no ML stage in the plan (at scale the scan prunes
+    * to the probed cells of the partitioned index).
     */
   def ivfTopK(
       corpus: Dataset[(Long, Array[Float])],
       queries: Array[(Long, Array[Float])],
-      k: Int, nCells: Int = 16, nProbe: Int = 3): Dataset[Neighbor] = {
+      k: Int, index: IvfIndex, nProbe: Int): Dataset[Neighbor] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train = corpus.map { case (_, v) =>
-      org.apache.spark.ml.feature.LabeledPoint(0.0,
-        org.apache.spark.ml.linalg.Vectors.dense(v.map(_.toDouble)))
-    }.toDF("label", "features")
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(10).fit(train)
-    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centers = index.centroids
     val bcCenters = spark.sparkContext.broadcast(centers)
     val probes: Map[Int, Array[(Long, Array[Float])]] = {
       val m = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]

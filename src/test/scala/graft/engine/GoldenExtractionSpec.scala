@@ -12,6 +12,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GoldenExtractionSpec extends AnyFunSuite {
 
+  test("multiline golden: an amount column vertical-merges in the flagship path") {
+    // M4 wired into extractOne (information_extraction.py:3398-3408): two
+    // amounts stacked alone in their x-band merge into one multiline
+    // extraction; the surrounding single-line labels are untouched
+    val text = "Betrag\n1234,56\n789,01\nEnde am 07.12.2006"
+    val doc = Extraction.extractOne(PageRow("u", null, Array.empty[Byte], text, ""))
+    val got = doc.labels.map(l => (l.label, l.start, l.end, l.normalized)).toVector
+    assert(got == Vector(
+      ("amount", 7, 21, "1234,56\n789,01"),
+      ("date", 30, 40, "2006-12-07"),
+    ))
+    assert(doc.extracted_text.substring(7, 21) == "1234,56\n789,01")
+  }
+
+  test("multiline amounts mid-sentence do NOT merge (foreign chars block)") {
+    val text = "Preis 1234,56 EUR heute\nWert 789,01 EUR morgen"
+    val doc = Extraction.extractOne(PageRow("u", null, Array.empty[Byte], text, ""))
+    val amounts = doc.labels.filter(_.label == "amount").toVector
+    assert(amounts.length == 2)
+    assert(amounts.map(_.normalized).sorted == Vector("1234.56", "789.01"))
+  }
+
   test("page 3 golden tuples are byte-exact") {
     val p = WebCorpus.page(3L)
     val doc = Extraction.extractOne(PageRow(p.url, p.warc_ts, p.html, p.text, p.lang))

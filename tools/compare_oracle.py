@@ -64,8 +64,9 @@ def main(sf_dir, out_dir):
             n_ok += 1
         else:
             n_bad += 1
-            diff_a = [x for x in a if x not in set(b)][:3]
-            diff_b = [x for x in b if x not in set(a)][:3]
+            sa, sb = set(a), set(b)  # hoisted: per-element set() rebuild was quadratic
+            diff_a = [x for x in a if x not in sb][:3]
+            diff_b = [x for x in b if x not in sa][:3]
             print(f"FAIL {name}: {len(a)} vs {len(b)} rows; spark-only={diff_a} oracle-only={diff_b}")
     print(f"== {n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
