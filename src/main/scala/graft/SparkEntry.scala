@@ -201,14 +201,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q17_minhash_neardups" -> ((s, dir) => {
+      // production-shaped two-stage dedup: MinHash-LSH candidate generation
+      // -> EXACT word-3-gram Jaccard verify at 0.85. At this threshold the
+      // 16x4 banding misses a true pair w.p. ~7e-6, so the oracle can
+      // enumerate the exact >=0.85 pair set with an all-pairs SQL check
+      // over the bounded (doc_id < 150, doubled) input.
       import s.implicits._
-      val d = t(s, dir, "documents")
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
       val doubled = d.select(col("doc_id"), col("text"))
         .union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         .as[(Long, String)]
-      Dedup.minhashNearDups(doubled, 0.8).toDF()
-        .select(col("a"), col("b"), round(col("estimated_jaccard"), 6).as("estimated_jaccard"))
+      val sigs = Dedup.signatures(doubled).persist()
+      val out = Dedup.exactJaccard(doubled, Dedup.candidatePairs(sigs))
+        .filter(_.estimated_jaccard >= 0.85)
+        .toDF()
+        .select(col("a"), col("b"), round(col("estimated_jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
+        .localCheckpoint(true)
+      sigs.unpersist()
+      out
     }),
     "q18_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -221,6 +232,7 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
       val pairs = t(s, dir, "documents").select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
         .join(t(s, dir, "documents").select(col("doc_id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")) // using-join moves the key first; re-fix order before the positional decode
         .as[(Long, Long)].map { case (a, b) => Dedup.Pair(a, b) }
       Dedup.exactJaccard(d, pairs).toDF()
         .select(col("a"), col("b"), round(col("estimated_jaccard"), 6).as("jaccard"))
@@ -423,7 +435,10 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
     "q32_regex_induction" -> ((s, dir) => {
-      // R3/R5: learned token patterns for each doc's first token
+      // R3/R5: learned W/N/F token patterns for each doc's first token. On
+      // pure-lowercase tokens the generalization is closed-form (escape and
+      // digit-replace are no-ops; F collapses the letter run), so the
+      // oracle rebuilds all three patterns including group names.
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
@@ -871,6 +886,45 @@ object SparkEntry {
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
         | sha256(text) AS text_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_minhash_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 150),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gr
+        |      FROM w JOIN nums ON i <= len(ws) - 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS ni
+        |          FROM g x JOIN g y ON x.gr = y.gr AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT a, b, ni * 1.0 / (ca.n + cb.n - ni) AS jac
+        |      FROM inter JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b)
+        |SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.85 ORDER BY a, b""".stripMargin,
+    "q19_ngram_jaccard" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gr
+        |      FROM w JOIN nums ON i <= len(ws) - 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS a, count(*) AS ni
+        |          FROM g x JOIN g y ON y.doc_id = x.doc_id + 1 AND x.gr = y.gr GROUP BY 1)
+        |SELECT ca.doc_id AS a, ca.doc_id + 1 AS b,
+        |  round(COALESCE(ni, 0) * 1.0 / (ca.n + cb.n - COALESCE(ni, 0)), 6) AS jaccard
+        |FROM cnt ca JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+        |LEFT JOIN inter ON inter.a = ca.doc_id
+        |ORDER BY a""".stripMargin,
+    "q32_regex_induction" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    COALESCE(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')[1], '') AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  '(?P<Label_1_W_' || CAST(doc_id AS VARCHAR) || '_0>' || tok || ')' AS regex_w,
+        |  '(?P<Label_1_N_' || CAST(doc_id AS VARCHAR) || '_0>' || tok || ')' AS regex_n,
+        |  '(?P<Label_1_F_' || CAST(doc_id AS VARCHAR) || '_0>' ||
+        |    CASE WHEN length(tok) >= 2 THEN '[a-zäöüß]+' ELSE '[a-zäöüß]' END || ')' AS regex_f
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q20_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT qid, vec_id AS nid,

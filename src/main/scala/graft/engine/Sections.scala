@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,13 +10,96 @@ import org.apache.spark.sql.functions._
   * recent preceding section start — `last(_, ignoreNulls) over (partition
   * doc order by offset rows unbounded preceding..current)`, one shuffle on
   * doc, no self-join.
+  *
+  * The TRAINED path (the reference's template classifier,
+  * information_extraction.py:2071-2191) is [[lineLabelFrame]] →
+  * [[withNeighborFeatures]] → [[fitStartClassifier]]: per-line label
+  * one-hots + annotation counts, widened with the ±n neighbor lines via
+  * Window lag/lead (`prev_line_i_*` / `next_line_i_*`, zero-filled at the
+  * edges like the reference), fit with the distributed logistic trainer.
   */
 object Sections {
 
-  /** Deterministic line-level section-start score (the stand-in for the
-    * reference's per-line RandomForest): a line opens a section when it is
-    * short, starts uppercase, and ends without sentence punctuation —
-    * heading-shaped. Returns [0,1].
+  /** Per-line label features from extraction output: for each (url, line)
+    * one indicator per label whose annotation STARTS on that line plus the
+    * annotation count — the `build_document_template_feature` row
+    * (information_extraction.py:2305-2330). Pure per-document kernel, no
+    * shuffle; emits every line (all-zero rows included, the classifier
+    * needs the negatives).
+    */
+  def lineLabelFrame(docs: Dataset[ExtractedDoc]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labelNames = Labels.all.map(_.name)
+    docs.mapPartitions(_.flatMap { doc =>
+      val text = doc.extracted_text
+      // line index per char offset: one linear pass
+      val lineOf = new Array[Int](math.max(1, text.length))
+      var ln = 0
+      var i = 0
+      while (i < text.length) {
+        lineOf(i) = ln
+        if (text.charAt(i) == '\n' || text.charAt(i) == '\f') ln += 1
+        i += 1
+      }
+      val nLines = ln + 1
+      val hot = Array.fill(nLines)(new Array[Double](labelNames.length))
+      val counts = new Array[Double](nLines)
+      doc.labels.foreach { l =>
+        val line = if (text.isEmpty) 0 else lineOf(math.min(l.start, text.length - 1))
+        val li = labelNames.indexOf(l.label)
+        if (li >= 0) hot(line)(li) = 1.0
+        counts(line) += 1.0
+      }
+      (0 until nLines).iterator.map(line => (doc.url, line, hot(line).toSeq :+ counts(line)))
+    }).toDF("url", "line_no", "features")
+  }
+
+  /** Widen a per-line feature frame with the ±n neighbor lines
+    * (generate_relative_line_features, information_extraction.py:2202-2235):
+    * prev/next line feature vectors appended in order, zero-filled past the
+    * document edges. One shuffle on the doc key.
+    */
+  def withNeighborFeatures(df: DataFrame, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("url")).orderBy(col("line_no"))
+    val neighborCols: Seq[Column] = (1 to n).flatMap { i =>
+      Seq(lag(col("features"), i).over(w).as(s"prev_$i"),
+        lead(col("features"), i).over(w).as(s"next_$i"))
+    }
+    val keep = df.columns.filterNot(c => c == "url" || c == "line_no" || c == "features")
+      .map(col).toSeq
+    val withN = df.select(Seq(col("url"), col("line_no"), col("features")) ++ keep ++ neighborCols: _*)
+    val zeros = array_repeat(lit(0.0), size(col("features")))
+    val assembled = (1 to n).foldLeft(withN) { (d, i) =>
+      d.withColumn(s"prev_$i", coalesce(col(s"prev_$i"), zeros))
+        .withColumn(s"next_$i", coalesce(col(s"next_$i"), zeros))
+    }
+    assembled.withColumn("assembled",
+      concat((col("features") +: (1 to n).flatMap(i =>
+        Seq(col(s"next_$i"), col(s"prev_$i")))): _*))
+      .select(Seq(col("url"), col("line_no"), col("assembled").as("features")) ++ keep: _*)
+  }
+
+  /** Fit the section-start classifier: rows carry (features array, y 0/1).
+    * Delegates to the distributed logistic trainer (broadcast weights,
+    * per-partition gradient partials).
+    */
+  def fitStartClassifier(frame: DataFrame, dim: Int, iters: Int = 120, lr: Double = 0.8): graft.jobs.TrainScorerJob.Fitted = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val ds = frame.select(col("y").cast("double"), col("features"))
+      .as[(Double, Seq[Double])]
+      .map { case (y, f) => graft.jobs.TrainScorerJob.Example(y, f.toArray) }
+      .persist()
+    try graft.jobs.TrainScorerJob.fitBinary(ds, dim, iters = iters, lr = lr)
+    finally ds.unpersist()
+  }
+
+  /** Deterministic line-level section-start score — retained as the
+    * zero-training fallback for corpora without section ground truth; the
+    * trained path above replaces it whenever labeled documents exist. A
+    * line opens a section when it is short, starts uppercase, and ends
+    * without sentence punctuation — heading-shaped. Returns [0,1].
     */
   def sectionStartScore(line: String): Double = {
     val t = line.trim
