@@ -13,9 +13,15 @@ import java.text.Normalizer
 object Features {
 
   def stripAccents(s: String): String = {
+    // ASCII fast path: NFD is the identity and nothing can be a combining
+    // mark — skips the Normalizer on the (dominant) plain-text case
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
     val d = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new StringBuilder(d.length)
-    var i = 0
+    i = 0
     while (i < d.length) {
       val c = d.charAt(i)
       if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
@@ -45,14 +51,20 @@ object Features {
 
   /** Count of accent-carrying characters (stands in for the reference's
     * difflib-based `count_string_differences` applied to (stripped, original)
-    * pairs, information_extraction.py:976-981).
+    * pairs, information_extraction.py:976-981). ASCII chars are never
+    * accented — only non-ASCII chars pay the per-char normalization.
     */
   def accentedCharCount(s: String): Int =
-    s.count(c => stripAccents(c.toString) != c.toString)
+    s.count(c => c >= 0x80 && stripAccents(c.toString) != c.toString)
 
   /** Non-overlapping lowercase substring count (information_extraction.py:670-677). */
-  def substringCount(s: String, sub: String): Int = {
-    val l = s.toLowerCase
+  def substringCount(s: String, sub: String): Int =
+    substringCountLower(s.toLowerCase, sub)
+
+  /** Hot-path variant over an already-lowercased string (convertToFeat runs
+    * 32 substring counts per span; one lowercase pass instead of 32).
+    */
+  @inline private def substringCountLower(l: String, sub: String): Int = {
     var i = 0; var n = 0
     while ({ i = l.indexOf(sub, i); i >= 0 }) { n += 1; i += sub.length }
     n
@@ -152,6 +164,7 @@ object Features {
     */
   def convertToFeat(original: String): Array[Double] = {
     val s = stripAccents(original)
+    val lower = s.toLowerCase // one pass shared by the 32 substring counts
     val out = new Array[Double](width)
     var i = 0
     def put(v: Double): Unit = { out(i) = v; i += 1 }
@@ -160,9 +173,9 @@ object Features {
     put(uniqueCharCount(s)); put(duplicateCount(s)); put(accentedCharCount(original))
     val (y, m, d) = yearMonthDay(s)
     put(y); put(m); put(d)
-    substrings.foreach(sub => put(substringCount(s, sub)))
-    put(startsWithSubstring(s, "+")); put(startsWithSubstring(s, "-"))
-    put(endsWithSubstring(s, "+")); put(endsWithSubstring(s, "-"))
+    substrings.foreach(sub => put(substringCountLower(lower, sub)))
+    put(if (lower.startsWith("+")) 1 else 0); put(if (lower.startsWith("-")) 1 else 0)
+    put(if (lower.endsWith("+")) 1 else 0); put(if (lower.endsWith("-")) 1 else 0)
     out
   }
 }

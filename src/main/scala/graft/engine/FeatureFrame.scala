@@ -57,8 +57,9 @@ object FeatureFrame {
 
   final case class Row(start: Int, end: Int, offsetString: String, features: Array[Double])
 
-  private final case class Neighbor(text: String, dist: Double, pos: Int)
-  private val Pad = Neighbor("", PadDistance, 0)
+  private final case class Neighbor(text: String, dist: Double, pos: Int, candIdx: Int)
+  private val Pad = Neighbor("", PadDistance, 0, -1)
+  private val padFeat: Array[Double] = Features.convertToFeat("")
 
   /** Assemble the frame for one document. `candidates` are the line-token
     * spans (the reference re-tokenizes each span's line; passing the
@@ -131,6 +132,28 @@ object FeatureFrame {
     val base = Features.featureNames.length
     val w = width(nLeft, nRight, firstWord, acrossLines)
 
+    val candIdxBySpan = new java.util.HashMap[Long, Int](candidates.length * 2)
+    candidates.indices.foreach { ci =>
+      val c = candidates(ci)
+      candIdxBySpan.put((c.start.toLong << 32) | c.end.toLong, ci)
+    }
+    def candIndexOf(sp: Span): Int =
+      candIdxBySpan.getOrDefault((sp.start.toLong << 32) | sp.end.toLong, -1)
+
+    // memoized candidate string features: each token is its own target plus
+    // a neighbor of ~2(nLeft+nRight) others — compute its 51-vector once
+    val candFeatCache = new Array[Array[Double]](candidates.length)
+    def featOfCand(ci: Int): Array[Double] = {
+      if (ci < 0) return padFeat
+      var f = candFeatCache(ci)
+      if (f == null) {
+        val c = candidates(ci)
+        f = Features.convertToFeat(text.substring(c.start, c.end))
+        candFeatCache(ci) = f
+      }
+      f
+    }
+
     val out = Vector.newBuilder[Row]
     targets.foreach { span =>
       val tBox = boxOf(span)
@@ -144,9 +167,9 @@ object FeatureFrame {
           val c = candidates(ci); val cb = candBox(ci)
           if (cb != null) {
             if (c.end <= span.start)
-              lList ::= Neighbor(text.substring(c.start, c.end), tBox.x0 - cb.x1, 0)
+              lList ::= Neighbor(text.substring(c.start, c.end), tBox.x0 - cb.x1, 0, ci)
             else if (c.start >= span.end)
-              rList ::= Neighbor(text.substring(c.start, c.end), cb.x0 - tBox.x1, 0)
+              rList ::= Neighbor(text.substring(c.start, c.end), cb.x0 - tBox.x1, 0, ci)
           }
         }
         var lFinal = lList.sortBy(_.dist).take(nLeft).toVector
@@ -166,7 +189,7 @@ object FeatureFrame {
                   val c = candidates(ci)
                   val d = Seq(math.abs(tBox.x0 - cb.x0), math.abs(tBox.x0 - cb.x1),
                     math.abs(tBox.x1 - cb.x0), math.abs(tBox.x1 - cb.x1)).min
-                  acc += Neighbor(text.substring(c.start, c.end), d, i * step)
+                  acc += Neighbor(text.substring(c.start, c.end), d, i * step, ci)
                   n += 1
                 }
               }
@@ -187,15 +210,16 @@ object FeatureFrame {
         var k = 0
         def put(v: Double): Unit = { f(k) = v; k += 1 }
         val s = text.substring(span.start, span.end)
-        Features.convertToFeat(s).foreach(put)
+        val targetIdx = candIndexOf(span)
+        (if (targetIdx >= 0) featOfCand(targetIdx) else Features.convertToFeat(s)).foreach(put)
         put(tBox.x0); put(tBox.y0); put(tBox.x1); put(tBox.y1)
         put(tBox.page); put(tBox.x0 * tBox.y0)
         lFinal.foreach(nb => put(nb.dist))
         if (acrossLines) lFinal.foreach(nb => put(nb.pos))
         rFinal.foreach(nb => put(nb.dist))
         if (acrossLines) rFinal.foreach(nb => put(nb.pos))
-        lFinal.foreach(nb => Features.convertToFeat(nb.text).foreach(put))
-        rFinal.foreach(nb => Features.convertToFeat(nb.text).foreach(put))
+        lFinal.foreach(nb => featOfCand(nb.candIdx).foreach(put))
+        rFinal.foreach(nb => featOfCand(nb.candIdx).foreach(put))
         put(tBox.page.toDouble / nPages)
         if (firstWord && firstBox != null) {
           put(firstBox.x0); put(firstBox.y0); put(firstBox.x1); put(firstBox.y1)
