@@ -141,6 +141,16 @@ object Evaluate {
       .withColumn("tokenizer_recall", col("n_found") / col("n_gt"))
   }
 
+  /** T12 missing_spans (tokenizer/base.py:98-141): the correct ground-truth
+    * spans the tokenizer failed to produce exactly — a left-anti join on the
+    * exact (doc, start, end) key (the reference filters the compare frame
+    * for is_correct && !is_found_by_tokenizer). `gt` must carry is_correct.
+    */
+  def missingSpans(gt: DataFrame, tokens: DataFrame): DataFrame =
+    gt.filter(col("is_correct"))
+      .join(tokens.select(col("doc_id"), col("start_offset"), col("end_offset")),
+        Seq("doc_id", "start_offset", "end_offset"), "left_anti")
+
   /** C4 NO_LABEL balancing (information_extraction.py:2793-2806): cap the
     * negative examples per document at `limit` (deterministic: keep the
     * first by start offset).

@@ -130,4 +130,26 @@ object TrainScorerJob {
         }
       }
   }
+
+  /** X8 → C1: training examples carrying the ASSEMBLED feature frame (the
+    * reference trains its classifier on exactly this 270-wide per-span
+    * frame, information_extraction.py:2950-2963 over process_document_data
+    * output). Same containment labeling as [[examplesFromCorpus]].
+    */
+  def examplesFromFrame(spark: SparkSession, nDocs: Long, partitions: Int, targetLabel: String): Dataset[Example] = {
+    import spark.implicits._
+    Extraction.extract(Extraction.syntheticPages(spark, nDocs, partitions))
+      .mapPartitions(_.flatMap { doc =>
+        val text = doc.extracted_text
+        val cands: IndexedSeq[Span] = doc.spans.map(s => Span(s.start, s.end)).toIndexedSeq
+        val positives = doc.labels.filter(_.label == targetLabel)
+          .map(l => Span(l.start, l.end)).toIndexedSeq
+        graft.engine.FeatureFrame
+          .assembleDoc(text, graft.core.Geometry.syntheticCharBoxes(text), cands, cands)
+          .iterator.map { r =>
+            val inside = positives.exists(p => p.start <= r.start && r.end <= p.end)
+            Example(if (inside) 1.0 else 0.0, r.features)
+          }
+      })
+  }
 }

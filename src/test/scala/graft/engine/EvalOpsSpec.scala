@@ -35,4 +35,18 @@ class EvalOpsSpec extends AnyFunSuite {
       .select("start_offset").as[Int].collect().sorted
     assert(capped.toSeq == Seq(0, 10, 20, 30)) // both labeled + first 2 negatives
   }
+
+  test("T12: missing_spans returns correct gt spans the tokenizer did not produce") {
+    import spark.implicits._
+    val gt = Seq(
+      (1L, 0, 5, true), // found
+      (1L, 10, 15, true), // missing
+      (1L, 20, 25, false), // incorrect gt -> never reported
+      (2L, 0, 5, true), // missing (other doc)
+    ).toDF("doc_id", "start_offset", "end_offset", "is_correct")
+    val tokens = Seq((1L, 0, 5), (1L, 30, 35)).toDF("doc_id", "start_offset", "end_offset")
+    val missing = Evaluate.missingSpans(gt, tokens)
+      .select("doc_id", "start_offset").as[(Long, Int)].collect().sorted
+    assert(missing.toSeq == Seq((1L, 10), (2L, 0)))
+  }
 }

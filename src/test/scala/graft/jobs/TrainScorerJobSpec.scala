@@ -23,6 +23,21 @@ class TrainScorerJobSpec extends AnyFunSuite {
     train.unpersist()
   }
 
+  test("X8 -> C1: fit on the ASSEMBLED 270-wide feature frame (date vs rest)") {
+    import spark.implicits._
+    val dim = graft.engine.FeatureFrame.width()
+    assert(dim == 270)
+    val train = TrainScorerJob.examplesFromFrame(spark, 120, 4, "date").persist()
+    val model = TrainScorerJob.fitBinary(train, dim, iters = 40)
+    val test = TrainScorerJob.examplesFromFrame(spark, 40, 2, "date").collect()
+    val correct = test.count { ex =>
+      (TrainScorerJob.predict(model, ex.features) >= 0.5) == (ex.label == 1.0)
+    }
+    val acc = correct.toDouble / test.length
+    assert(acc >= 0.95, s"frame-trained held-out accuracy $acc over ${test.length} spans")
+    train.unpersist()
+  }
+
   test("fit is reproducible for a fixed partitioning") {
     import spark.implicits._
     val train = TrainScorerJob.examplesFromCorpus(spark, 60, 4, "amount").persist()
