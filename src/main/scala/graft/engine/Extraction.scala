@@ -92,6 +92,44 @@ object Extraction {
     merged.foreach(m => if (multilineLabels.contains(m.label)) mlCount += 1)
     if (mlCount < 2) return merged
     val (ml, rest) = merged.partition(m => multilineLabels.contains(m.label))
+    // Exact allocation-free precheck: a vertical merge needs two same-label
+    // rows on DIFFERENT lines whose grid x-intervals intersect — and since
+    // rows only merge when they already x-overlap, the grown union hull
+    // equals the interval union, so the pairwise test is exact (no false
+    // negatives). Only documents that pass pay the char-box construction.
+    val lineOf = new Array[Int](ml.length)
+    val colS = new Array[Int](ml.length)
+    val colE = new Array[Int](ml.length)
+    var lineStart = 0
+    var line = 0
+    var prevOff = 0
+    // ml is span-sorted within each label group but not globally; sort idx by start
+    val order = ml.indices.sortBy(i => ml(i).span.start)
+    order.foreach { i =>
+      val sp = ml(i).span
+      var p = prevOff
+      while (p < sp.start) {
+        val c = text.charAt(p)
+        if (c == '\n' || c == '\f') { line += 1; lineStart = p + 1 }
+        p += 1
+      }
+      prevOff = sp.start
+      lineOf(i) = line
+      colS(i) = sp.start - lineStart
+      colE(i) = sp.end - lineStart
+    }
+    var couldMerge = false
+    var a = 0
+    while (!couldMerge && a < ml.length) {
+      var b = a + 1
+      while (!couldMerge && b < ml.length) {
+        if (ml(a).label == ml(b).label && lineOf(a) != lineOf(b) &&
+            colS(a) <= colE(b) && colS(b) <= colE(a)) couldMerge = true
+        b += 1
+      }
+      a += 1
+    }
+    if (!couldMerge) return merged
     val chars = Geometry.syntheticCharBoxes(text)
     val vertical = Merge.mergeVertical(text, chars, ml).map(_._1)
     (rest ++ vertical).sortBy(r => (r.span.start, r.span.end, r.label))
