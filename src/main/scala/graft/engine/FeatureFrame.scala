@@ -32,10 +32,17 @@ object FeatureFrame {
 
   val PadDistance = 100000.0
 
-  /** The ordered feature-name contract of the assembled frame. */
+  /** The ordered feature-name contract of the assembled frame. Optional
+    * blocks follow the reference's feature_list order (information_
+    * extraction.py:1608-1637): word-on-page indicators sit between the
+    * relative-position feature and the first-word box; catchphrase
+    * distances come last.
+    */
   def featureNames(
       nLeft: Int = 2, nRight: Int = 2,
-      firstWord: Boolean = true, acrossLines: Boolean = false): Vector[String] = {
+      firstWord: Boolean = true, acrossLines: Boolean = false,
+      substringFeatures: Seq[String] = Nil,
+      catchphrases: Seq[String] = Nil): Vector[String] = {
     val base = Features.featureNames
     val lKeys = (0 until nLeft).map(i => s"l_dist$i") ++
       (if (acrossLines) (0 until nLeft).map(i => s"l_pos$i") else Seq.empty)
@@ -47,13 +54,16 @@ object FeatureFrame {
       Vector("x0", "y0", "x1", "y1", "page_index", "area_quadrant_two") ++
       lKeys ++ rKeys ++ relStrings ++
       Vector("relative_position_in_page") ++
+      substringFeatures.indices.map(i => s"word_on_page_feat$i") ++
       (if (firstWord) Vector("first_word_x0", "first_word_y0", "first_word_x1", "first_word_y1")
-       else Vector.empty)
+       else Vector.empty) ++
+      catchphrases.map(c => s"catchphrase_dist_$c")
   }
 
   def width(nLeft: Int = 2, nRight: Int = 2,
-      firstWord: Boolean = true, acrossLines: Boolean = false): Int =
-    featureNames(nLeft, nRight, firstWord, acrossLines).length
+      firstWord: Boolean = true, acrossLines: Boolean = false,
+      substringFeatures: Seq[String] = Nil, catchphrases: Seq[String] = Nil): Int =
+    featureNames(nLeft, nRight, firstWord, acrossLines, substringFeatures, catchphrases).length
 
   final case class Row(start: Int, end: Int, offsetString: String, features: Array[Double])
 
@@ -76,7 +86,9 @@ object FeatureFrame {
       targets: IndexedSeq[Span],
       nLeft: Int = 2, nRight: Int = 2,
       firstWord: Boolean = true,
-      acrossLines: Boolean = false): Vector[Row] = {
+      acrossLines: Boolean = false,
+      substringFeatures: Seq[String] = Nil,
+      catchphrases: Seq[String] = Nil): Vector[Row] = {
     if (text.isEmpty || targets.isEmpty) return Vector.empty
 
     // O(1) char-box lookup by offset (chars skip \n/\f, so index != offset)
@@ -129,8 +141,17 @@ object FeatureFrame {
     val firstBox: Geometry.Box =
       candidates.indices.iterator.map(candBox).find(_ != null).orNull
 
+    // X7 word-on-page: page texts split on \f (substring_on_page,
+    // information_extraction.py:1650-1659)
+    val pageTexts: Array[String] =
+      if (substringFeatures.isEmpty) Array.empty else text.split('\f')
+    // X6 catchphrases: line texts in the \f->\n flattened view
+    val lineTexts: IndexedSeq[String] =
+      if (catchphrases.isEmpty) IndexedSeq.empty
+      else lines.map(l => text.substring(l.start, l.end))
+
     val base = Features.featureNames.length
-    val w = width(nLeft, nRight, firstWord, acrossLines)
+    val w = width(nLeft, nRight, firstWord, acrossLines, substringFeatures, catchphrases)
 
     val candIdxBySpan = new java.util.HashMap[Long, Int](candidates.length * 2)
     candidates.indices.foreach { ci =>
@@ -221,10 +242,17 @@ object FeatureFrame {
         lFinal.foreach(nb => featOfCand(nb.candIdx).foreach(put))
         rFinal.foreach(nb => featOfCand(nb.candIdx).foreach(put))
         put(tBox.page.toDouble / nPages)
+        substringFeatures.foreach { word =>
+          val pageText = if (tBox.page < pageTexts.length) pageTexts(tBox.page) else ""
+          put(Features.wordOnPage(pageText, word))
+        }
         if (firstWord && firstBox != null) {
           put(firstBox.x0); put(firstBox.y0); put(firstBox.x1); put(firstBox.y1)
         } else if (firstWord) {
           put(0); put(0); put(0); put(0)
+        }
+        if (catchphrases.nonEmpty) {
+          Features.catchphraseDistances(lineTexts, lineNum, catchphrases).foreach(d => put(d))
         }
         assert(k == w, s"assembled $k features, contract says $w")
         out += Row(span.start, span.end, s, f)

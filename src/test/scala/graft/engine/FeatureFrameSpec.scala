@@ -85,6 +85,30 @@ class FeatureFrameSpec extends AnyFunSuite {
     assert(v("l1_feat_len") == 2.0) // "ef" (line-1 candidates reversed)
   }
 
+  test("optional word-on-page and catchphrase blocks follow the reference order") {
+    val subs = Seq("cd", "zz")
+    val phrases = Seq("ab", "nope")
+    val names = FeatureFrame.featureNames(2, 2,
+      substringFeatures = subs, catchphrases = phrases)
+    assert(names.length == 270 + 2 + 2)
+    // word_on_page sits between relative_position and the first-word box;
+    // catchphrases are last (information_extraction.py:1608-1637)
+    assert(names.indexOf("word_on_page_feat0") == names.indexOf("relative_position_in_page") + 1)
+    assert(names.indexOf("first_word_x0") == names.indexOf("word_on_page_feat1") + 1)
+    assert(names.last == "catchphrase_dist_nope")
+
+    val rows = FeatureFrame.assembleDoc(text, chars, tokens, tokens,
+      substringFeatures = subs, catchphrases = phrases)
+    val z = rows(4) // "z" on line 2
+    def v(n: String) = z.features(idx(n, names))
+    assert(v("word_on_page_feat0") == 1.0) // "cd" occurs on page 0
+    assert(v("word_on_page_feat1") == 0.0) // "zz" does not
+    assert(v("catchphrase_dist_ab") == 1.0) // "ab" one line back
+    assert(v("catchphrase_dist_nope") == -1.0) // never seen
+    val cd = rows(1) // on the first line: no previous line contains anything
+    assert(cd.features(idx("catchphrase_dist_ab", names)) == -1.0)
+  }
+
   test("frame over extraction output is deterministic across partitionings") {
     import spark.implicits._
     val a = FeatureFrame.forDocs(Extraction.extract(Extraction.syntheticPages(spark, 40, 2))).collect()
