@@ -23,6 +23,8 @@ object LangId {
     * argmax with lexicographic tie-break; "und" (undetermined) when nothing
     * scores or the text is CJK-dominant ("zh" for Han-dominant text).
     */
+  private val orderedProfiles: Vector[(String, Set[String])] = profiles.toVector.sortBy(_._1)
+
   def detect(text: String, maxTokens: Int = 200): String = {
     if (text == null || text.isEmpty) return "und"
     var han = 0; var total = 0
@@ -35,12 +37,37 @@ object LangId {
       i += 1
     }
     if (total > 0 && han * 2 > total) return "zh"
-    val tokens = text.toLowerCase.split(tokenSplit).iterator.filter(_.nonEmpty).take(maxTokens).toArray
-    if (tokens.isEmpty) return "und"
+    // single bounded scan: lowercased letter-run tokens, stop at maxTokens —
+    // no whole-text lowercase + regex split (this runs per document in the
+    // extraction hot path); scores accumulate inline
+    val scores = new Array[Int](orderedProfiles.length)
+    val sb = new java.lang.StringBuilder(24)
+    var nTok = 0
+    i = 0
+    var sawToken = false
+    def flush(): Unit = if (sb.length > 0) {
+      val tok = sb.toString
+      sb.setLength(0)
+      nTok += 1
+      sawToken = true
+      var p = 0
+      while (p < orderedProfiles.length) {
+        if (orderedProfiles(p)._2.contains(tok)) scores(p) += 1
+        p += 1
+      }
+    }
+    while (i < text.length && nTok < maxTokens) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) sb.append(Character.toLowerCase(c)) else flush()
+      i += 1
+    }
+    if (nTok < maxTokens) flush()
+    if (!sawToken) return "und"
     var best = "und"; var bestScore = 0
-    profiles.toVector.sortBy(_._1).foreach { case (lang, words) =>
-      val score = tokens.count(words.contains)
-      if (score > bestScore) { best = lang; bestScore = score }
+    var p = 0
+    while (p < orderedProfiles.length) {
+      if (scores(p) > bestScore) { best = orderedProfiles(p)._1; bestScore = scores(p) }
+      p += 1
     }
     best
   }

@@ -54,4 +54,19 @@ class ExtractJobSpec extends AnyFunSuite {
     val again = ExtractJob.run(spark, pages, out, nBuckets = 4)
     assert(again.isEmpty)
   }
+
+  test("resume survives a crash during the FIRST lineage write (file-less _lineage dir)") {
+    val out = freshDir()
+    // a crash mid-write can leave _lineage holding only _temporary: an
+    // unreadable lineage dir must mean 'no committed buckets', not a
+    // permanent abort (regression for the resume dead-end)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/_lineage/_temporary"))
+    assert(ExtractJob.committedBuckets(spark, out).isEmpty)
+    val pages = Extraction.syntheticPages(spark, 30, 2)
+    val written = ExtractJob.run(spark, pages, out, nBuckets = 3)
+    assert(written.map(_.bucket).sorted == Seq(0, 1, 2))
+    val audit = ExtractJob.audit(spark, out)
+    assert(audit.count() == 3)
+    assert(audit.filter("NOT rows_match OR NOT checksum_match").count() == 0)
+  }
 }
