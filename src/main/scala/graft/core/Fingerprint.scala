@@ -118,18 +118,20 @@ object Fingerprint {
     * cross-run determinism).
     */
   def simhash64(text: String): Long = {
-    val acc = new Array[Int](64)
+    // collect per-word finalized hashes, then vote once per DISTINCT hash
+    // weighted by its count (bit-identical to voting per occurrence: the
+    // per-bit accumulator is a plain sum). Real text repeats words heavily,
+    // so this cuts the 64-bit vote loop by the repetition factor.
+    var hashes = new Array[Long](64)
+    var nh = 0
     var h = 0xcbf29ce484222325L // FNV offset basis
     var inWord = false
     var i = 0
     val n = text.length
     def flush(): Unit = {
-      val z = SplitMix64.mix(h) // finalization for bit diffusion
-      var b = 0
-      while (b < 64) {
-        if (((z >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
+      if (nh == hashes.length) hashes = java.util.Arrays.copyOf(hashes, nh * 2)
+      hashes(nh) = SplitMix64.mix(h) // finalization for bit diffusion
+      nh += 1
       h = 0xcbf29ce484222325L
     }
     while (i < n) {
@@ -141,6 +143,20 @@ object Fingerprint {
       i += 1
     }
     if (inWord) flush()
+    val acc = new Array[Int](64)
+    java.util.Arrays.sort(hashes, 0, nh)
+    var j = 0
+    while (j < nh) {
+      val z = hashes(j)
+      var run = 1
+      while (j + run < nh && hashes(j + run) == z) run += 1
+      var b = 0
+      while (b < 64) {
+        if (((z >>> b) & 1L) == 1L) acc(b) += run else acc(b) -= run
+        b += 1
+      }
+      j += run
+    }
     var out = 0L
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }

@@ -25,6 +25,16 @@ object LangId {
     */
   private val orderedProfiles: Vector[(String, Set[String])] = profiles.toVector.sortBy(_._1)
 
+  // one hash lookup per token: word -> bitmask of the (lexicographically
+  // ordered) languages whose profile contains it
+  private val wordMask: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    orderedProfiles.zipWithIndex.foreach { case ((_, words), p) =>
+      words.foreach(w => m.merge(w, 1 << p, (a, b) => Integer.valueOf(a | b)))
+    }
+    m
+  }
+
   def detect(text: String, maxTokens: Int = 200): String = {
     if (text == null || text.isEmpty) return "und"
     var han = 0; var total = 0
@@ -50,9 +60,11 @@ object LangId {
       sb.setLength(0)
       nTok += 1
       sawToken = true
+      var mask = wordMask.getOrDefault(tok, 0)
       var p = 0
-      while (p < orderedProfiles.length) {
-        if (orderedProfiles(p)._2.contains(tok)) scores(p) += 1
+      while (mask != 0) {
+        if ((mask & 1) != 0) scores(p) += 1
+        mask >>>= 1
         p += 1
       }
     }

@@ -103,9 +103,10 @@ object Extraction {
     var lineStart = 0
     var line = 0
     var prevOff = 0
-    // ml is span-sorted within each label group but not globally; sort idx by start
-    val order = ml.indices.sortBy(i => ml(i).span.start)
-    order.foreach { i =>
+    // mergeHorizontal returns rows sorted by (start, end, label), and
+    // partition preserves order — ml is already start-sorted
+    var i = 0
+    while (i < ml.length) {
       val sp = ml(i).span
       var p = prevOff
       while (p < sp.start) {
@@ -117,6 +118,7 @@ object Extraction {
       lineOf(i) = line
       colS(i) = sp.start - lineStart
       colE(i) = sp.end - lineStart
+      i += 1
     }
     var couldMerge = false
     var a = 0

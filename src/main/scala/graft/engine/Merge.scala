@@ -103,7 +103,44 @@ object Merge {
       text: String,
       chars: IndexedSeq[Geometry.CharBox],
       rowsIn: Seq[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] = {
-    def boxOf(sp: Span): Option[Geometry.Box] = Geometry.spanBox(chars, sp.start, sp.end)
+    // O(1) per-offset lookup + per-(page,line) buckets: span boxes scan only
+    // their own range and containment probes only the lines inside the
+    // union box — without this, every probe re-scanned the whole char array
+    val byOff = new Array[Geometry.CharBox](text.length)
+    chars.foreach(cb => if (cb.offset < text.length) byOff(cb.offset) = cb)
+    def boxOf(sp: Span): Option[Geometry.Box] = {
+      var x0 = Double.MaxValue; var y0 = Double.MaxValue
+      var x1 = Double.MinValue; var y1 = Double.MinValue
+      var page = -1; var line = -1; var sawMulti = false; var found = false
+      var i = sp.start
+      val lim = math.min(sp.end, text.length)
+      while (i < lim) {
+        val cb = byOff(i)
+        if (cb != null && cb.ch != ' ') {
+          found = true
+          if (cb.x0 < x0) x0 = cb.x0
+          if (cb.y0 < y0) y0 = cb.y0
+          if (cb.x1 > x1) x1 = cb.x1
+          if (cb.y1 > y1) y1 = cb.y1
+          if (page < 0) page = cb.page
+          if (line < 0) line = cb.line else if (line != cb.line) sawMulti = true
+        }
+        i += 1
+      }
+      if (!found) None else Some(Geometry.Box(x0, x1, y0, y1, page, if (sawMulti) -1 else line))
+    }
+    // line buckets with y-envelopes, for bounded containment probes
+    val lineBuckets: Map[(Int, Int), IndexedSeq[Geometry.CharBox]] =
+      chars.groupBy(cb => (cb.page, cb.line))
+    val bucketY: Map[(Int, Int), (Double, Double)] =
+      lineBuckets.view.mapValues(cs => (cs.iterator.map(_.y0).min, cs.iterator.map(_.y1).max)).toMap
+    def charsInBox(sel: Geometry.Box): Iterator[Geometry.CharBox] =
+      lineBuckets.iterator.flatMap { case ((page, line), cs) =>
+        val (ly0, ly1) = bucketY((page, line))
+        if (page != sel.page || ly1 < sel.y0 || ly0 > sel.y1) Iterator.empty
+        else cs.iterator.filter(cb =>
+          sel.x0 <= cb.x0 && cb.x1 <= sel.x1 && sel.y0 <= cb.y0 && cb.y1 <= sel.y1)
+      }
 
     val out = Vector.newBuilder[(Scorer.Scored, Vector[Span])]
     rowsIn.groupBy(_.label).toVector.sortBy(_._1).foreach { case (label, group) =>
@@ -150,8 +187,8 @@ object Merge {
           }
           false
         }
-        val contained = Geometry.selectChars(chars, Geometry.Box(ux0, ux1, uy0, uy1, r.page, -1))
-        contained.forall(cb => cb.ch == ' ' || inMember(cb.offset))
+        charsInBox(Geometry.Box(ux0, ux1, uy0, uy1, r.page, -1))
+          .forall(cb => cb.ch == ' ' || inMember(cb.offset))
       }
       rows.foreach { row =>
         if (buffer.nonEmpty && validVertical(row)) buffer :+= row
