@@ -36,8 +36,7 @@ object Bench {
     }
 
     // headline: extraction docs/sec over a materialized page table (the
-    // engine's contract input — scan → extract, same shape as ScalingBench);
-    // best of 2 trials (GC debt from the query sweep depresses the first)
+    // engine's contract input — scan → extract, same shape as ScalingBench)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
     val pagesDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString + "/pages"
     graft.engine.Extraction.syntheticPages(spark, nDocs, cpus.toInt * 4)

@@ -117,19 +117,39 @@ object Fingerprint {
     * letter/digit runs (our own fingerprint spec; fixed forever for
     * cross-run determinism).
     */
+  private val SimhashChunk = 4096
+
   def simhash64(text: String): Long = {
-    // collect per-word finalized hashes, then vote once per DISTINCT hash
-    // weighted by its count (bit-identical to voting per occurrence: the
-    // per-bit accumulator is a plain sum). Real text repeats words heavily,
-    // so this cuts the 64-bit vote loop by the repetition factor.
-    var hashes = new Array[Long](64)
+    // buffer word hashes in a FIXED-size chunk; when full, sort and vote
+    // once per distinct hash weighted by its run count. Bit-identical to
+    // voting per occurrence (the per-bit accumulator is a plain sum), cuts
+    // the 64-bit vote loop by the repetition factor on real text, and keeps
+    // memory O(1) for arbitrarily large documents.
+    val hashes = new Array[Long](SimhashChunk)
     var nh = 0
+    val acc = new Array[Int](64)
+    def drain(): Unit = {
+      java.util.Arrays.sort(hashes, 0, nh)
+      var j = 0
+      while (j < nh) {
+        val z = hashes(j)
+        var run = 1
+        while (j + run < nh && hashes(j + run) == z) run += 1
+        var b = 0
+        while (b < 64) {
+          if (((z >>> b) & 1L) == 1L) acc(b) += run else acc(b) -= run
+          b += 1
+        }
+        j += run
+      }
+      nh = 0
+    }
     var h = 0xcbf29ce484222325L // FNV offset basis
     var inWord = false
     var i = 0
     val n = text.length
     def flush(): Unit = {
-      if (nh == hashes.length) hashes = java.util.Arrays.copyOf(hashes, nh * 2)
+      if (nh == SimhashChunk) drain()
       hashes(nh) = SplitMix64.mix(h) // finalization for bit diffusion
       nh += 1
       h = 0xcbf29ce484222325L
@@ -143,20 +163,7 @@ object Fingerprint {
       i += 1
     }
     if (inWord) flush()
-    val acc = new Array[Int](64)
-    java.util.Arrays.sort(hashes, 0, nh)
-    var j = 0
-    while (j < nh) {
-      val z = hashes(j)
-      var run = 1
-      while (j + run < nh && hashes(j + run) == z) run += 1
-      var b = 0
-      while (b < 64) {
-        if (((z >>> b) & 1L) == 1L) acc(b) += run else acc(b) -= run
-        b += 1
-      }
-      j += run
-    }
+    drain()
     var out = 0L
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }

@@ -81,7 +81,8 @@ object Annotations {
       }
       val _ = conf // documented: conf participates only through the sort/threshold
     }
-    kept.result().sortBy(a => a.spans.map(_.start).min)
+    kept.result().sortBy(a =>
+      if (a.spans.isEmpty) Int.MaxValue else a.spans.map(_.start).min)
   }
 
   final case class FlatAnn(

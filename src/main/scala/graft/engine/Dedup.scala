@@ -95,6 +95,13 @@ object Dedup {
     * result is materialized eagerly (localCheckpoint), and the signature
     * cache is released before returning — repeated job-level calls don't
     * accumulate executor memory.
+    *
+    * Tradeoff: eager materialization truncates lineage (an executor loss
+    * after return cannot recompute the checkpointed blocks) and runs the
+    * LSH job at call time. Callers that want a lazy/composable plan —
+    * e.g. to push further filters before execution, or on preemptible
+    * clusters — should compose [[signatures]] / [[candidatePairs]] /
+    * [[verifyPairs]] directly and manage the signature cache themselves.
     */
   def minhashNearDups(ds: Dataset[(Long, String)], threshold: Double = 0.8): Dataset[ScoredPair] = {
     val sigs = signatures(ds).persist()
@@ -106,7 +113,13 @@ object Dedup {
     * 4-block pigeonhole keys (one shuffle on the block key). Buckets larger
     * than `maxBucket` (boilerplate-identical shells all share a 16-bit
     * block) pair only against the bucket's smallest id — connectivity is
-    * preserved for dedup while the per-bucket work stays linear.
+    * preserved for HOMOGENEOUS buckets while per-bucket work stays linear.
+    * Caveat: a capped bucket can drop a true pair whose members are both
+    * far from the keeper; recall then rests on the pair's other 3 blocks
+    * landing in an uncapped shared bucket. That is the deliberate
+    * bounded-work/recall tradeoff for hot keys — raise `maxBucket` (or
+    * pre-split hot block values) when hot-bucket recall matters more than
+    * the O(bucket²) bound.
     */
   def simhashNearDups(ds: Dataset[(Long, String)], maxDist: Int = 3, maxBucket: Int = 1000): Dataset[ScoredPair] = {
     val spark = ds.sparkSession

@@ -209,10 +209,15 @@ object Evaluate {
     */
   def classifierMetrics(df: DataFrame, noLabel: String = "NO_LABEL"): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val base = df.select(col("y_true"), col("y_pred"), col("confidence"))
       .withColumn("hit", (col("y_true") === col("y_pred")).cast("long"))
-    val cm = base.groupBy("y_true", "y_pred")
-      .agg(count(lit(1)).as("n")).persist()
+    // the confusion matrix is bounded by the label vocabulary squared —
+    // collect it once and rebuild a local frame for the derived metrics
+    // (no persist to leak, no re-scan of the full data for each branch)
+    val cmRows = base.groupBy("y_true", "y_pred").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSeq
+    val cm = cmRows.toDF("y_true", "y_pred", "n")
 
     def generalRows(m: DataFrame, scope: String): DataFrame = {
       val total = m.agg(sum("n").as("nn"), sum(when(col("y_true") === col("y_pred"), col("n")).otherwise(lit(0L))).as("ok"))

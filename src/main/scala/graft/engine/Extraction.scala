@@ -84,13 +84,21 @@ object Extraction {
     * box. Char boxes are built lazily and only when a document actually has
     * >= 2 extractions of a multiline label — the common document pays
     * nothing (hot-path discipline).
+    *
+    * A merged annotation keeps its PER-LINE member spans (the reference's
+    * multi-span Annotation): each member becomes one output row with its own
+    * interval and slice, the shared merged confidence, and the joined
+    * member text as the annotation-level normalized value. The flat hull
+    * interval would include foreign inter-line content and violate the
+    * single-line Span contract.
     */
   private[engine] def mergeVerticalForMultiline(
-      text: String, merged: Vector[Scorer.Scored]): Vector[Scorer.Scored] = {
-    if (multilineLabels.isEmpty) return merged
+      text: String, merged: Vector[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] = {
+    def passthrough = merged.map(m => (m, Vector(m.span)))
+    if (multilineLabels.isEmpty) return passthrough
     var mlCount = 0
     merged.foreach(m => if (multilineLabels.contains(m.label)) mlCount += 1)
-    if (mlCount < 2) return merged
+    if (mlCount < 2) return passthrough
     val (ml, rest) = merged.partition(m => multilineLabels.contains(m.label))
     // Exact allocation-free precheck: a vertical merge needs two same-label
     // rows on DIFFERENT lines whose grid x-intervals intersect — and since
@@ -131,10 +139,11 @@ object Extraction {
       }
       a += 1
     }
-    if (!couldMerge) return merged
+    if (!couldMerge) return passthrough
     val chars = Geometry.syntheticCharBoxes(text)
-    val vertical = Merge.mergeVertical(text, chars, ml).map(_._1)
-    (rest ++ vertical).sortBy(r => (r.span.start, r.span.end, r.label))
+    val vertical = Merge.mergeVertical(text, chars, ml)
+    (rest.map(m => (m, Vector(m.span))) ++ vertical)
+      .sortBy { case (r, _) => (r.span.start, r.span.end, r.label) }
   }
 
   /** Extract one page row — pure function, the unit of determinism: the
@@ -160,9 +169,14 @@ object Extraction {
       url = row.url,
       extracted_text = text,
       spans = spanArr,
-      labels = merged.iterator.map(m =>
-        LabeledSpan(m.label, m.span.start, m.span.end,
-          text.substring(m.span.start, m.span.end), m.confidence, m.normalized)).toArray,
+      labels = merged.iterator.flatMap { case (m, memberSpans) =>
+        // multi-span (vertically merged) annotations emit one row per
+        // member line span — text is the member's own slice, normalized is
+        // the annotation-level value (the joined text for merges)
+        memberSpans.iterator.map(sp =>
+          LabeledSpan(m.label, sp.start, sp.end,
+            text.substring(sp.start, sp.end), m.confidence, m.normalized))
+      }.toArray,
       lang = if (row.lang != null && row.lang.nonEmpty) row.lang else LangId.detect(text),
       n_tokens = packed.length,
       text_sha256 = sha256Hex(text),

@@ -130,11 +130,22 @@ object FeatureFrame {
     }
     val nPages = text.count(_ == '\f') + 1
 
+    // the reference picks the first line overlapping the span, which for
+    // contiguous lines is the line containing span.start — binary search
+    // over the sorted line starts (O(tokens x lines) indexWhere would
+    // dominate on book-sized documents)
+    def lineOfSpan(sp: Span): Int = {
+      var lo = 0; var hi = lines.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (lines(mid).start <= sp.start) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+
     // candidates grouped per line, each with its box (computed once)
     val candBox = candidates.map(boxOf)
-    val candLine = candidates.map { sp =>
-      lines.indexWhere(l => l.start <= sp.end && l.end >= sp.start)
-    }
+    val candLine = candidates.map(lineOfSpan)
     val byLine: Map[Int, Vector[Int]] =
       candidates.indices.toVector.groupBy(candLine).withDefaultValue(Vector.empty)
 
@@ -179,7 +190,7 @@ object FeatureFrame {
     targets.foreach { span =>
       val tBox = boxOf(span)
       if (tBox != null) {
-        val lineNum = lines.indexWhere(l => l.start <= span.end && l.end >= span.start)
+        val lineNum = lineOfSpan(span)
         // same-line neighbors: left = candidates ending at-or-before the span
         // start, distance is the bbox x-gap (information_extraction.py:1494-1503)
         var lList = List.empty[Neighbor]

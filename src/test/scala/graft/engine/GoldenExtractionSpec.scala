@@ -18,12 +18,25 @@ class GoldenExtractionSpec extends AnyFunSuite {
     // extraction; the surrounding single-line labels are untouched
     val text = "Betrag\n1234,56\n789,01\nEnde am 07.12.2006"
     val doc = Extraction.extractOne(PageRow("u", null, Array.empty[Byte], text, ""))
-    val got = doc.labels.map(l => (l.label, l.start, l.end, l.normalized)).toVector
+    val got = doc.labels.map(l => (l.label, l.start, l.end, l.text, l.normalized)).toVector
+    // the merged annotation keeps its PER-LINE member spans (two rows, own
+    // slices, shared annotation-level normalized = the joined member text)
     assert(got == Vector(
-      ("amount", 7, 21, "1234,56\n789,01"),
-      ("date", 30, 40, "2006-12-07"),
+      ("amount", 7, 14, "1234,56", "1234,56\n789,01"),
+      ("amount", 15, 21, "789,01", "1234,56\n789,01"),
+      ("date", 30, 40, "07.12.2006", "2006-12-07"),
     ))
-    assert(doc.extracted_text.substring(7, 21) == "1234,56\n789,01")
+  }
+
+  test("multiline golden: member spans never include foreign inter-line content") {
+    // amounts x-overlap and merge, but other words share their lines: each
+    // emitted span must cover ONLY its own amount slice
+    val text = "Item A 10,00\nItem B 20,00"
+    val doc = Extraction.extractOne(PageRow("u", null, Array.empty[Byte], text, ""))
+    val amounts = doc.labels.filter(_.label == "amount").toVector
+    assert(amounts.map(_.text) == Vector("10,00", "20,00"))
+    assert(amounts.forall(a => !a.text.contains("Item")))
+    assert(amounts.map(_.normalized).distinct == Vector("10,00\n20,00")) // merged annotation value
   }
 
   test("multiline amounts mid-sentence do NOT merge (foreign chars block)") {
