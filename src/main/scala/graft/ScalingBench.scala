@@ -116,8 +116,12 @@ object ScalingBench {
     java.nio.file.Files.writeString(histPath, json + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val effRe = """"scaling_efficiency":([0-9.]+)""".r
+    def effOf(l: String): Double = effRe.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(0.0)
     val history = java.nio.file.Files.readAllLines(histPath).toArray.map(_.toString).filter(_.nonEmpty)
-    val best = history.maxBy(l => effRe.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(0.0))
+    // efficiency > 1.05 is a host anomaly (the low side hit a throttled
+    // window), not superlinear scaling — never present one as the record
+    val credible = history.filter(l => effOf(l) <= 1.05)
+    val best = (if (credible.nonEmpty) credible else history).maxBy(effOf)
 
     val md =
       f"""# BENCH — extraction throughput & scaling
