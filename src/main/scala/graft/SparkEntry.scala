@@ -666,6 +666,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
     }),
+    "q48_extract_html" -> ((s, dir) => {
+      // the HTML strip path with a hard oracle: wrap each document's text
+      // in boilerplate-bearing markup (link-dense nav + footer the
+      // extractor must drop, script/title excluded, content in <article>);
+      // the golden extracted text is the original text, so length/tokens/
+      // sha256 are SQL-checkable against the raw table.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val html = "<html><head><title>t</title><script>var x=1;</script></head><body>" +
+            "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a> <a href=\"/c\">contact</a></nav>" +
+            s"<article><p>$text</p></article>" +
+            "<footer><a href=\"/d\">privacy</a> <a href=\"/e\">terms</a></footer></body></html>"
+          val doc = Extraction.extractOne(PageRow(id.toString, null,
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""))
+          (id, doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
+        })
+        .toDF("doc_id", "n_chars_extracted", "n_tokens", "text_sha256")
+        .orderBy(col("doc_id"))
+    }),
     "q35_eval_pipeline" -> ((s, dir) => {
       // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
       import s.implicits._
@@ -881,6 +901,11 @@ object SparkEntry {
         |         THEN 'B-L' || CAST(j % 3 AS VARCHAR)
         |       ELSE 'I-L' || CAST(j % 3 AS VARCHAR) END AS tag
         |FROM c ORDER BY doc_id, token_index""".stripMargin,
+    "q48_extract_html" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars_extracted,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(text) AS text_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q44_stream_extract" ->
       """SELECT doc_id,
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
