@@ -220,13 +220,15 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: corpus bucketed by hyperplane key (one shuffle,
-    * reusable across queries); each query searches its own bucket plus
-    * single-bit-flip probes (multi-probe for recall).
+    * reusable across queries); each query searches its own bucket plus all
+    * probes within `probeRadius` bit flips (multi-probe trades per-query
+    * fan-out for recall — radius 2 probes 1 + bits + bits*(bits-1)/2 keys,
+    * still a vanishing fraction of the 2^bits key space).
     */
   def lshTopK(
       corpus: Dataset[(Long, Array[Float])],
       queries: Array[(Long, Array[Float])],
-      k: Int, bits: Int = 10): Dataset[Neighbor] = {
+      k: Int, bits: Int = 10, probeRadius: Int = 2): Dataset[Neighbor] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val keyed = corpus.map { case (id, v) => (hyperplaneKey(v, bits), id, v) }
@@ -234,7 +236,12 @@ object Similarity {
       val m = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
       queries.foreach { case (qid, qv) =>
         val base = hyperplaneKey(qv, bits)
-        (Seq(base) ++ (0 until bits).map(b => base ^ (1L << b))).foreach { key =>
+        val keys = scala.collection.mutable.LinkedHashSet(base)
+        if (probeRadius >= 1) (0 until bits).foreach(b => keys += (base ^ (1L << b)))
+        if (probeRadius >= 2)
+          for (b1 <- 0 until bits; b2 <- (b1 + 1) until bits)
+            keys += (base ^ (1L << b1) ^ (1L << b2))
+        keys.foreach { key =>
           m.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
         }
       }
