@@ -234,13 +234,18 @@ object Similarity {
     val keyed = corpus.map { case (id, v) => (hyperplaneKey(v, bits), id, v) }
     val probes: Map[Long, Array[(Long, Array[Float])]] = {
       val m = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      require(probeRadius >= 0 && probeRadius <= 2,
+        s"probeRadius $probeRadius not implemented (0..2)")
       queries.foreach { case (qid, qv) =>
         val base = hyperplaneKey(qv, bits)
-        val keys = scala.collection.mutable.LinkedHashSet(base)
-        if (probeRadius >= 1) (0 until bits).foreach(b => keys += (base ^ (1L << b)))
-        if (probeRadius >= 2)
-          for (b1 <- 0 until bits; b2 <- (b1 + 1) until bits)
-            keys += (base ^ (1L << b1) ^ (1L << b2))
+        // base, single-flip and b1<b2 double-flip keys are pairwise
+        // distinct by construction — plain concatenation, no dedup needed
+        val keys = Seq(base) ++
+          (if (probeRadius >= 1) (0 until bits).map(b => base ^ (1L << b)) else Seq.empty) ++
+          (if (probeRadius >= 2)
+            for (b1 <- 0 until bits; b2 <- (b1 + 1) until bits)
+              yield base ^ (1L << b1) ^ (1L << b2)
+          else Seq.empty)
         keys.foreach { key =>
           m.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
         }
