@@ -489,8 +489,16 @@ object SparkEntry {
             j += 1
           }
           val m = sb.toString
-          val payload = Ingest.payloadOf(Geometry.syntheticCharBoxes(m))
-          val chars = Ingest.validatedCharBoxes(m, payload)
+          // page bounds derived from the grid's own maxima so validation and
+          // generator geometry cannot diverge: a >101-char line or a >66-line
+          // doc would otherwise exceed the default 612x792 and fail the whole
+          // query inside mapPartitions. Counts (the oracle columns) are
+          // invariant to the page size, so in-bounds docs hash identically.
+          val lines = m.split('\n')
+          val pageW = math.max(612.0, 6.0 * lines.iterator.map(_.length).max)
+          val pageH = math.max(792.0, (lines.length - 1) * 12.0 + 10.0)
+          val payload = Ingest.payloadOf(Geometry.syntheticCharBoxes(m, pageW, pageH))
+          val chars = Ingest.validatedCharBoxes(m, payload, pageW, pageH)
             .fold(err => throw new IllegalStateException(err), identity)
           (id, Geometry.lineBoxes(chars).length.toLong,
             Geometry.mergedBoxes(chars).length.toLong,

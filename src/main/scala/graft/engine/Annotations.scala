@@ -104,8 +104,13 @@ object Annotations {
       .as[FlatAnn]
       .groupByKey(_.doc_id)
       .flatMapGroups { (docId, it) =>
+        // group arrival order after a shuffle is not deterministic; pre-sort
+        // by ann_id so the kernel's STABLE priority sort resolves fully-tied
+        // annotations (same correctness/confidence/start) identically on
+        // every run — the analog of the reference's stable insertion order
         val anns = it.map(r => Ann(r.ann_id, r.label, Vector(Span(r.start, r.end)),
-          r.is_correct, r.revised, if (r.confidence.isNaN) None else Some(r.confidence))).toSeq
+          r.is_correct, r.revised, if (r.confidence.isNaN) None else Some(r.confidence)))
+          .toSeq.sortBy(_.annId)
         viewAnnotations(anns, thresholdOf, hasMulti).iterator.map { a =>
           (docId, a.annId, a.label, a.spans.head.start, a.spans.head.end,
             a.isCorrect, a.confidence.getOrElse(0.0))

@@ -9,10 +9,22 @@ import org.apache.spark.sql.functions._
   * near-dup, SimHash hamming blocking, exact n-gram-Jaccard verification,
   * embedding-cosine near-dup. Shuffle discipline: one exchange per stage —
   * band/block keys are the shuffle keys; candidate generation happens inside
-  * buckets (pigeonhole guarantees recall); exact verification only touches
-  * candidate pairs, never the full cross product.
+  * buckets; exact verification only touches candidate pairs, never the full
+  * cross product. Recall: pigeonhole/banding guarantees hold for buckets up
+  * to `maxBucket` members; larger (hot) buckets pair only against the
+  * bucket's smallest id, which keeps work linear but can drop a true pair
+  * whose members are both far from the keeper — capped buckets are counted
+  * in the `graft.dedup.cappedBuckets` accumulator so the loss is observable.
   */
 object Dedup {
+
+  /** Named accumulator counting LSH buckets that exceeded their cap (and so
+    * were paired keeper-only). One is registered per dedup call and captured
+    * in the bucket-pairing closure; visible in the Spark UI under
+    * `graft.dedup.cappedBuckets` and readable after the job's action.
+    */
+  private def newCappedCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    spark.sparkContext.longAccumulator("graft.dedup.cappedBuckets")
 
   /** Exact duplicate groups by content hash. Map-side partial agg → one
     * shuffle on the 128-bit hash. Returns (text_hash, n_docs, keeper_id).
@@ -47,18 +59,20 @@ object Dedup {
     * pair generation is per-bucket with a deterministic cap (buckets larger
     * than `maxBucket` — e.g. boilerplate-identical shells — pair only against
     * the bucket's smallest id, preserving connectivity for dedup while
-    * keeping the output linear; the cap is logged by callers via the
-    * `capped_buckets` accumulator pattern at job level).
+    * keeping the output linear; each capped bucket bumps the
+    * `graft.dedup.cappedBuckets` accumulator).
     */
   def candidatePairs(sigs: Dataset[Sig], maxBucket: Int = 1000): Dataset[Pair] = {
     val spark = sigs.sparkSession
     import spark.implicits._
+    val capped = newCappedCounter(spark)
     sigs.flatMap(s => s.bands.map(b => (b, s.id)))
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._2).toArray.sorted
         if (ids.length < 2) Iterator.empty
         else if (ids.length > maxBucket) {
+          capped.add(1L)
           val head = ids(0)
           ids.iterator.drop(1).map(b => Pair(head, b))
         } else {
@@ -90,23 +104,32 @@ object Dedup {
       .filter(_.estimated_jaccard >= threshold)
   }
 
-  /** Full MinHash-LSH near-dup pipeline over (id, text). The signature
-    * table is cached for the two passes (bands, verify), the small pair
-    * result is materialized eagerly (localCheckpoint), and the signature
-    * cache is released before returning — repeated job-level calls don't
-    * accumulate executor memory.
+  /** Full MinHash-LSH near-dup pipeline over (id, text).
     *
-    * Tradeoff: eager materialization truncates lineage (an executor loss
-    * after return cannot recompute the checkpointed blocks) and runs the
-    * LSH job at call time. Callers that want a lazy/composable plan —
-    * e.g. to push further filters before execution, or on preemptible
-    * clusters — should compose [[signatures]] / [[candidatePairs]] /
-    * [[verifyPairs]] directly and manage the signature cache themselves.
+    * `eager = true` (default): the signature table is cached for the two
+    * passes (bands, verify), the small pair result is materialized eagerly
+    * (localCheckpoint), and the signature cache is released before
+    * returning — repeated job-level calls don't accumulate executor memory.
+    * Tradeoff: eager materialization truncates lineage, so on a preemptible
+    * cluster an executor loss after return makes the result blocks
+    * unrecomputable.
+    *
+    * `eager = false`: returns the lazy, fully-recomputable plan (no cache,
+    * no checkpoint) — signatures are computed once per downstream pass, the
+    * full lineage survives executor loss, and callers can push further
+    * filters before execution. Job-level callers on stable executors can
+    * still `persist`/`localCheckpoint` the result themselves.
     */
-  def minhashNearDups(ds: Dataset[(Long, String)], threshold: Double = 0.8): Dataset[ScoredPair] = {
-    val sigs = signatures(ds).persist()
-    try verifyPairs(sigs, candidatePairs(sigs), threshold).localCheckpoint(true)
-    finally sigs.unpersist()
+  def minhashNearDups(ds: Dataset[(Long, String)], threshold: Double = 0.8,
+      eager: Boolean = true): Dataset[ScoredPair] = {
+    if (eager) {
+      val sigs = signatures(ds).persist()
+      try verifyPairs(sigs, candidatePairs(sigs), threshold).localCheckpoint(true)
+      finally sigs.unpersist()
+    } else {
+      val sigs = signatures(ds)
+      verifyPairs(sigs, candidatePairs(sigs), threshold)
+    }
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist, using
@@ -124,6 +147,7 @@ object Dedup {
   def simhashNearDups(ds: Dataset[(Long, String)], maxDist: Int = 3, maxBucket: Int = 1000): Dataset[ScoredPair] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    val capped = newCappedCounter(spark)
     val hashes = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.simhash64(t)) })
     val pairs = hashes.flatMap { case (id, h) => Fingerprint.simhashBlocks(h).map(b => (b, id, h)) }
       .groupByKey(_._1)
@@ -136,6 +160,7 @@ object Dedup {
             out += ScoredPair(members(i)._1, members(j)._1, 1.0 - d / 64.0)
         }
         if (members.length > maxBucket) {
+          capped.add(1L)
           var j = 1
           while (j < members.length) { pairOf(0, j); j += 1 }
         } else {
@@ -180,6 +205,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val capped = newCappedCounter(spark)
     val ds = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
     ds.flatMap { case (id, v) =>
         Iterator.tabulate(tables)(t =>
@@ -194,6 +220,7 @@ object Dedup {
           if (c >= threshold) out += ((members(i)._1, members(j)._1, c))
         }
         if (members.length > maxBucket) {
+          capped.add(1L)
           var j = 1
           while (j < members.length) { pairOf(0, j); j += 1 }
         } else {

@@ -53,11 +53,21 @@ object Merge {
 
   /** merge_df horizontal (information_extraction.py:421-473): sequential
     * buffer scan per (document, label); rows must arrive sorted by start.
+    * Label data types resolve through the engine's built-in registry.
     */
-  def mergeHorizontal(text: String, rowsIn: Seq[Scorer.Scored], threshold: Double = 0.0): Vector[Scorer.Scored] = {
+  def mergeHorizontal(text: String, rowsIn: Seq[Scorer.Scored], threshold: Double = 0.0): Vector[Scorer.Scored] =
+    mergeHorizontal(text, rowsIn, threshold,
+      label => Labels.byName.get(label).map(_.dataType).getOrElse("Text"))
+
+  /** As above with an explicit label→data-type resolver (the reference's
+    * `label_type_dict` parameter) — used when the label vocabulary comes
+    * from a loaded project rather than the built-in registry.
+    */
+  def mergeHorizontal(text: String, rowsIn: Seq[Scorer.Scored], threshold: Double,
+      dataTypeOf: String => String): Vector[Scorer.Scored] = {
     val out = Vector.newBuilder[Scorer.Scored]
     rowsIn.groupBy(_.label).toVector.sortBy(_._1).foreach { case (label, group) =>
-      val dataType = Labels.byName.get(label).map(_.dataType).getOrElse("Text")
+      val dataType = dataTypeOf(label)
       val rows = group.sortBy(r => (r.span.start, r.span.end)).filter(_.confidence >= threshold)
       var buffer = List.empty[Scorer.Scored] // reversed
       def flush(): Unit = if (buffer.nonEmpty) {
@@ -172,9 +182,10 @@ object Merge {
         if (!overlap) return false
         if (bb.exists(_.page != r.page)) return false
         // union box must not contain foreign non-space chars; membership is
-        // checked against the member [start, end) intervals directly
-        // (exclusive end, matching the reference span contract) — no
-        // per-probe offset-set materialization
+        // checked against member [start, end] intervals INCLUSIVE of end —
+        // the reference builds member bboxes with range(Start, End + 1)
+        // (information_extraction.py:398), deliberately tolerating a
+        // non-space char exactly at a member's end offset
         val ux0 = math.min(bx0, r.x0); val ux1 = math.max(bx1, r.x1)
         val uy0 = math.min(by0, r.y0); val uy1 = math.max(by1, r.y1)
         val members = buffer :+ row
@@ -182,7 +193,7 @@ object Merge {
           var i = 0
           while (i < members.length) {
             val sp = members(i).span
-            if (off >= sp.start && off < sp.end) return true
+            if (off >= sp.start && off <= sp.end) return true
             i += 1
           }
           false

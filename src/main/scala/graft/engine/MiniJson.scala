@@ -1,7 +1,7 @@
 package graft.engine
 
 /** Minimal JSON parser for the reference's offline fixture files (plain
-  * `json.dumps` output) — test scope only, zero dependencies. Supports
+  * `json.dumps` output): the fixture-source parser (S1/S2 offline project load), zero dependencies. Supports
   * objects, arrays, strings, numbers, booleans, null.
   */
 object MiniJson {

@@ -36,7 +36,15 @@ object Similarity {
       state += graft.core.SplitMix64.Golden
       graft.core.SplitMix64.mix(state)
     }
-    Array.fill(bits)(Array.fill(dim)({ val v = next(); (v.toDouble / Long.MaxValue).toFloat }))
+    // standard N(0,1) components via Box-Muller on the splitmix stream —
+    // gaussian directions are rotation-invariant (uniform on the sphere),
+    // unlike uniform-cube draws which bias toward cube corners
+    def gaussian(): Float = {
+      val u1 = ((next() >>> 11) + 1).toDouble / (1L << 53).toDouble // (0,1]
+      val u2 = (next() >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+      (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
+    }
+    Array.fill(bits)(Array.fill(dim)(gaussian()))
   }
   @transient private lazy val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Float]]]()
@@ -141,15 +149,19 @@ object Similarity {
 
   final case class IvfIndex(centroids: Array[Array[Float]])
 
-  /** Fit the quantizer from a deterministic sample (smallest `sampleCap`
-    * ids — a take-ordered head, no full shuffle).
+  /** Fit the quantizer from a deterministic UNBIASED sample: take-ordered
+    * head by `xxhash64(id)` — same cost as a smallest-ids head (no full
+    * shuffle) but hash order decorrelates the sample from any id/content
+    * correlation (a time-ordered crawl would otherwise fit centroids on the
+    * oldest pages).
     */
   def buildIvfIndexLocal(
       corpus: Dataset[(Long, Array[Float])],
       nCells: Int = 16, sampleCap: Int = 2048): IvfIndex = {
-    // sort by the id (first) column positionally — tuple Datasets derived
+    // the id column is addressed positionally — tuple Datasets derived
     // from named DataFrames keep their original column names
-    val sample = corpus.orderBy(col(corpus.columns.head)).limit(sampleCap)
+    val idCol = col(corpus.columns.head)
+    val sample = corpus.orderBy(xxhash64(idCol), idCol).limit(sampleCap)
       .collect().sortBy(_._1).map(_._2)
     IvfIndex(localKMeans(sample, nCells))
   }

@@ -105,6 +105,139 @@ object TrainScorerJob {
     Fitted(w, b, mean, scale, loss, iters)
   }
 
+  final case class ExampleK(y: Int, features: Array[Double])
+
+  /** Multiclass softmax model: `weights(k)` is class k's row; classes are
+    * the caller's ordered label vocabulary (NO_LABEL included as a class,
+    * like the reference's RandomForest over label_text).
+    */
+  final case class FittedK(
+      classes: Array[String],
+      weights: Array[Array[Double]], bias: Array[Double],
+      mean: Array[Double], scale: Array[Double],
+      trainLoss: Double, iterations: Int)
+
+  /** Balanced class weights — n / (K * n_k), the reference's
+    * `class_weight="balanced"` (information_extraction.py:2955): without it
+    * the NO_LABEL ocean (~95% of tokens) drowns the real labels.
+    */
+  def balancedWeights(counts: Array[Long]): Array[Double] = {
+    val n = counts.sum.toDouble
+    val k = counts.count(_ > 0).toDouble
+    counts.map(c => if (c == 0) 0.0 else n / (k * c))
+  }
+
+  /** C1 multiclass fit: full-batch softmax regression over the assembled
+    * frame — the engine's deterministic stand-in for the reference's
+    * RandomForest (information_extraction.py:2950-2963). Same plan shape as
+    * [[fitBinary]]: broadcast (W, b) → one narrow mapPartitions producing a
+    * per-partition (K×dim gradient, K bias-gradient, loss) partial → small
+    * collect combined in partition order → driver update. Deterministic
+    * given the input partitioning, independent of core count.
+    */
+  def fitSoftmax(
+      ds: Dataset[ExampleK], numClasses: Int, dim: Int,
+      classWeights: Array[Double],
+      iters: Int = 200, lr: Double = 0.5, l2: Double = 1e-4,
+      classes: Array[String] = Array.empty): FittedK = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val (mean, scale) = stats(ds.map(ex => Example(0.0, ex.features)), dim)
+    val nW = ds.map(ex => classWeights(ex.y)).reduce(_ + _) // weighted n
+    require(nW > 0, "fitSoftmax: empty training set")
+    val bcStats = spark.sparkContext.broadcast((mean, scale))
+    val bcCW = spark.sparkContext.broadcast(classWeights)
+    var w = Array.fill(numClasses)(new Array[Double](dim))
+    var b = new Array[Double](numClasses)
+    var loss = 0.0
+    (0 until iters).foreach { _ =>
+      val bcW = spark.sparkContext.broadcast((w, b))
+      val partials = ds.mapPartitions { it =>
+        val (wts, bias) = bcW.value
+        val (m, s) = bcStats.value
+        val cw = bcCW.value
+        val grad = Array.fill(numClasses)(new Array[Double](dim))
+        val gradB = new Array[Double](numClasses)
+        var l = 0.0
+        val x = new Array[Double](dim)
+        val z = new Array[Double](numClasses)
+        it.foreach { ex =>
+          var i = 0
+          while (i < dim) { x(i) = (ex.features(i) - m(i)) / s(i); i += 1 }
+          var k = 0
+          var zMax = Double.MinValue
+          while (k < numClasses) {
+            var zz = bias(k)
+            val wk = wts(k)
+            i = 0
+            while (i < dim) { zz += wk(i) * x(i); i += 1 }
+            z(k) = zz
+            if (zz > zMax) zMax = zz
+            k += 1
+          }
+          var sumExp = 0.0
+          k = 0
+          while (k < numClasses) { z(k) = math.exp(z(k) - zMax); sumExp += z(k); k += 1 }
+          val weight = cw(ex.y)
+          k = 0
+          while (k < numClasses) {
+            val p = z(k) / sumExp
+            val err = weight * (p - (if (k == ex.y) 1.0 else 0.0))
+            val gk = grad(k)
+            i = 0
+            while (i < dim) { gk(i) += err * x(i); i += 1 }
+            gradB(k) += err
+            if (k == ex.y) l += -weight * math.log(math.max(p, 1e-12))
+            k += 1
+          }
+        }
+        Iterator.single((grad, gradB, l))
+      }.collect() // one small row per partition, combined in partition order
+      val g = Array.fill(numClasses)(new Array[Double](dim))
+      val gB = new Array[Double](numClasses)
+      var l = 0.0
+      partials.foreach { case (pg, pb, pl) =>
+        var k = 0
+        while (k < numClasses) {
+          var i = 0
+          while (i < dim) { g(k)(i) += pg(k)(i); i += 1 }
+          gB(k) += pb(k)
+          k += 1
+        }
+        l += pl
+      }
+      w = Array.tabulate(numClasses)(k =>
+        Array.tabulate(dim)(i => w(k)(i) - lr * (g(k)(i) / nW + l2 * w(k)(i))))
+      b = Array.tabulate(numClasses)(k => b(k) - lr * gB(k) / nW)
+      loss = l / nW
+      bcW.destroy()
+    }
+    FittedK(classes, w, b, mean, scale, loss, iters)
+  }
+
+  /** Class probabilities of a fitted softmax model — pure, broadcastable. */
+  def predictProba(m: FittedK, features: Array[Double]): Array[Double] = {
+    val k = m.weights.length
+    val z = new Array[Double](k)
+    var zMax = Double.MinValue
+    var c = 0
+    while (c < k) {
+      var zz = m.bias(c)
+      val wc = m.weights(c)
+      var i = 0
+      while (i < wc.length) { zz += wc(i) * (features(i) - m.mean(i)) / m.scale(i); i += 1 }
+      z(c) = zz
+      if (zz > zMax) zMax = zz
+      c += 1
+    }
+    var sum = 0.0
+    c = 0
+    while (c < k) { z(c) = math.exp(z(c) - zMax); sum += z(c); c += 1 }
+    c = 0
+    while (c < k) { z(c) /= sum; c += 1 }
+    z
+  }
+
   /** Score with a fitted model — pure function, broadcastable. */
   def predict(m: Fitted, features: Array[Double]): Double = {
     var z = m.bias
