@@ -694,6 +694,23 @@ object SparkEntry {
         .toDF("doc_id", "n_chars_extracted", "n_tokens", "text_sha256")
         .orderBy(col("doc_id"))
     }),
+    "q49_fixture_golden" -> ((s, _) => {
+      // E9: the composed train→extract golden over the reference's FROZEN
+      // fixture corpus — train the balanced softmax scorer on the X8 frame
+      // of the 5 training payslips (real OCR boxes), extract
+      // TEST_DOCUMENT_ID through predict→drop-NO_LABEL→argmax→threshold→
+      // merge. The oracle is the PINNED engine tuple set (all 20 of the
+      // reference's entity_results_data tuples plus 4 engine extras;
+      // span-strict F1 vs ground truth 0.889 — the reference's own RF
+      // scores 0.811 on the same doc). Falls back to an empty frame when
+      // the fixture corpus is absent.
+      if (graft.jobs.FixtureGoldenJob.available())
+        graft.jobs.FixtureGoldenJob.extractDF(s)
+      else {
+        import s.implicits._
+        Seq.empty[(String, Long, Long, String)].toDF("label", "start", "end", "offset_string")
+      }
+    }),
     "q35_eval_pipeline" -> ((s, dir) => {
       // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
       import s.implicits._
@@ -914,6 +931,36 @@ object SparkEntry {
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
         | sha256(text) AS text_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the frozen composed-golden tuple set (FixtureGoldenSpec pins the same
+    // values; training is deterministic at every parallelism level)
+    "q49_fixture_golden" ->
+      """SELECT * FROM (VALUES
+        | ('Austellungsdatum', CAST(159 AS BIGINT), CAST(169 AS BIGINT), '22.05.2018'),
+        | ('Personalausweis', CAST(352 AS BIGINT), CAST(357 AS BIGINT), '00104'),
+        | ('Steuerklasse', CAST(365 AS BIGINT), CAST(366 AS BIGINT), '1'),
+        | ('Steuerklasse', CAST(891 AS BIGINT), CAST(892 AS BIGINT), 'L'),
+        | ('Personalausweis', CAST(1194 AS BIGINT), CAST(1199 AS BIGINT), '00104'),
+        | ('Gesamt-Brutto', CAST(1498 AS BIGINT), CAST(1504 AS BIGINT), '198,34'),
+        | ('Vorname', CAST(1507 AS BIGINT), CAST(1518 AS BIGINT), 'Erna-Muster'),
+        | ('Nachname', CAST(1519 AS BIGINT), CAST(1527 AS BIGINT), 'Eiermann'),
+        | ('Gesamt-Brutto', CAST(1582 AS BIGINT), CAST(1587 AS BIGINT), '10,89'),
+        | ('Lohnart', CAST(1758 AS BIGINT), CAST(1762 AS BIGINT), '2000'),
+        | ('Bezeichnung', CAST(1763 AS BIGINT), CAST(1769 AS BIGINT), 'Gehalt'),
+        | ('Betrag', CAST(1831 AS BIGINT), CAST(1839 AS BIGINT), '3.120,00'),
+        | ('Gesamt-Brutto', CAST(2111 AS BIGINT), CAST(2119 AS BIGINT), '3.120,00'),
+        | ('Sozialversicherung', CAST(2255 AS BIGINT), CAST(2262 AS BIGINT), '3.12000'),
+        | ('Sozialversicherung', CAST(2269 AS BIGINT), CAST(2274 AS BIGINT), '25732'),
+        | ('Sozialversicherung', CAST(2281 AS BIGINT), CAST(2285 AS BIGINT), '2062'),
+        | ('Sozialversicherung', CAST(2292 AS BIGINT), CAST(2296 AS BIGINT), '1417'),
+        | ('Steuerrechtliche Abzüge', CAST(2324 AS BIGINT), CAST(2330 AS BIGINT), '292,11'),
+        | ('Sozialversicherung', CAST(2685 AS BIGINT), CAST(2701 AS BIGINT), '3.12000    26208'),
+        | ('Sozialversicherung', CAST(2714 AS BIGINT), CAST(2727 AS BIGINT), '4680     3978'),
+        | ('Steuerrechtliche Abzüge', CAST(2734 AS BIGINT), CAST(2740 AS BIGINT), '638,82'),
+        | ('Netto-Verdienst', CAST(3004 AS BIGINT), CAST(3012 AS BIGINT), '2.189,07'),
+        | ('Steuer-Brutto', CAST(3141 AS BIGINT), CAST(3149 AS BIGINT), '42.42950'),
+        | ('Auszahlungsbetrag', CAST(3777 AS BIGINT), CAST(3785 AS BIGINT), '2.189,07')
+        |) t(label, "start", "end", offset_string)
+        |ORDER BY "start", "end", label""".stripMargin,
     "q44_stream_extract" ->
       """SELECT doc_id,
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
