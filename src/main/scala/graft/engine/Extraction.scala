@@ -140,8 +140,7 @@ object Extraction {
       a += 1
     }
     if (!couldMerge) return passthrough
-    val chars = Geometry.syntheticCharBoxes(text)
-    val vertical = Merge.mergeVertical(text, chars, ml)
+    val vertical = Merge.mergeVertical(text, Geometry.syntheticGrid(text), ml)
     (rest.map(m => (m, Vector(m.span))) ++ vertical)
       .sortBy { case (r, _) => (r.span.start, r.span.end, r.label) }
   }

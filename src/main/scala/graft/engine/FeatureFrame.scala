@@ -88,12 +88,33 @@ object FeatureFrame {
       firstWord: Boolean = true,
       acrossLines: Boolean = false,
       substringFeatures: Seq[String] = Nil,
-      catchphrases: Seq[String] = Nil): Vector[Row] = {
+      catchphrases: Seq[String] = Nil): Vector[Row] =
+    assembleDoc(text, Geometry.CharGrid.fromCharBoxes(chars), candidates, targets,
+      nLeft, nRight, firstWord, acrossLines, substringFeatures, catchphrases)
+
+  /** Columnar assembly — the hot path: all geometry reads go straight to
+    * the grid's primitive arrays (no per-char objects).
+    */
+  def assembleDoc(
+      text: String,
+      g: Geometry.CharGrid,
+      candidates: IndexedSeq[Span],
+      targets: IndexedSeq[Span],
+      nLeft: Int, nRight: Int,
+      firstWord: Boolean,
+      acrossLines: Boolean,
+      substringFeatures: Seq[String],
+      catchphrases: Seq[String]): Vector[Row] = {
     if (text.isEmpty || targets.isEmpty) return Vector.empty
 
-    // O(1) char-box lookup by offset (chars skip \n/\f, so index != offset)
-    val byOff = new Array[Geometry.CharBox](text.length)
-    chars.foreach(cb => if (cb.offset < text.length) byOff(cb.offset) = cb)
+    // O(1) grid-row lookup by offset (grid rows skip \n/\f, so row != offset)
+    val byOff = new Array[Int](text.length)
+    java.util.Arrays.fill(byOff, -1)
+    var gi = 0
+    while (gi < g.length) {
+      if (g.offsets(gi) < text.length) byOff(g.offsets(gi)) = gi
+      gi += 1
+    }
 
     def boxOf(sp: Span): Geometry.Box = {
       var x0 = Double.MaxValue; var y0 = Double.MaxValue
@@ -102,14 +123,14 @@ object FeatureFrame {
       var i = sp.start
       val lim = math.min(sp.end, text.length)
       while (i < lim) {
-        val cb = byOff(i)
-        if (cb != null && cb.ch != ' ') {
+        val j = byOff(i)
+        if (j >= 0 && g.chars.charAt(j) != ' ') {
           found = true
-          if (cb.x0 < x0) x0 = cb.x0
-          if (cb.y0 < y0) y0 = cb.y0
-          if (cb.x1 > x1) x1 = cb.x1
-          if (cb.y1 > y1) y1 = cb.y1
-          if (page < 0) page = cb.page
+          if (g.x0(j) < x0) x0 = g.x0(j)
+          if (g.y0(j) < y0) y0 = g.y0(j)
+          if (g.x1(j) > x1) x1 = g.x1(j)
+          if (g.y1(j) > y1) y1 = g.y1(j)
+          if (page < 0) page = g.pages(j)
         }
         i += 1
       }
@@ -286,7 +307,8 @@ object FeatureFrame {
     ds.mapPartitions(_.flatMap { doc =>
       val text = doc.extracted_text
       val cands: IndexedSeq[Span] = doc.spans.map(s => Span(s.start, s.end)).toIndexedSeq
-      assembleDoc(text, Geometry.syntheticCharBoxes(text), cands, cands, nLeft, nRight)
+      assembleDoc(text, Geometry.syntheticGrid(text), cands, cands, nLeft, nRight,
+        firstWord = true, acrossLines = false, Nil, Nil)
         .map(r => SpanFrameRow(doc.url, r.start, r.end, r.offsetString, r.features))
     })
   }

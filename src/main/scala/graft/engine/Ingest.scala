@@ -29,29 +29,45 @@ object Ingest {
       y0: Array[Double], y1: Array[Double])
 
   /** Validate and convert one document's payload. Left = first violation,
-    * with the reference's error vocabulary.
+    * with the reference's error vocabulary. Boxed-view convenience over
+    * [[validatedGrid]] — hot paths should take the grid directly.
     */
   def validatedCharBoxes(
       text: String,
       p: CharBoxPayload,
       pageWidth: Double = 612.0,
       pageHeight: Double = 792.0,
-      strict: Boolean = false): Either[String, Vector[Geometry.CharBox]] = {
+      strict: Boolean = false): Either[String, Vector[Geometry.CharBox]] =
+    validatedGrid(text, p, pageWidth, pageHeight, strict).map(_.toCharBoxes)
+
+  /** Columnar validation: the payload's primitive arrays flow THROUGH into
+    * the returned [[Geometry.CharGrid]] (coordinate arrays and the char
+    * string are shared, only the 1-based page numbers are copied to
+    * 0-based) — no per-char objects anywhere in the validate→geometry path.
+    */
+  def validatedGrid(
+      text: String,
+      p: CharBoxPayload,
+      pageWidth: Double = 612.0,
+      pageHeight: Double = 792.0,
+      strict: Boolean = false): Either[String, Geometry.CharGrid] = {
     val n = p.offsets.length
     if (p.chars.length != n || p.pageNumbers.length != n || p.lineNumbers.length != n ||
         p.x0.length != n || p.x1.length != n || p.y0.length != n || p.y1.length != n)
       return Left(s"ragged payload: $n offsets vs ${p.chars.length} chars")
-    val out = Vector.newBuilder[Geometry.CharBox]
+    val pages0 = new Array[Int](n)
     var i = 0
     while (i < n) {
       val off = p.offsets(i)
       val boxChar = p.chars.charAt(i)
       if (off < 0 || off >= text.length)
         return Left(s"offset $off outside document text of length ${text.length}")
+      if (i > 0 && p.offsets(i - 1) >= off)
+        return Left(s"offsets not strictly ascending at $off")
       val docChar = text.charAt(off)
       if (boxChar != ' ' && boxChar != '\f' && boxChar != '\n' && boxChar != docChar)
         return Left(s"""Bbox provides character "$boxChar" document text refers to "$docChar" at offset $off""")
-      val (bx0, bx1, by0, by1) = (p.x0(i), p.x1(i), p.y0(i), p.y1(i))
+      val bx0 = p.x0(i); val bx1 = p.x1(i); val by0 = p.y0(i); val by1 = p.y1(i)
       if (bx0 > bx1) return Left(s"bbox at offset $off has negative width")
       if (by0 > by1) return Left(s"bbox at offset $off has negative height")
       if (strict && bx0 == bx1) return Left(s"bbox at offset $off has no width")
@@ -60,11 +76,11 @@ object Ingest {
       if (bx1 > pageWidth) return Left(s"bbox at offset $off exceeds page width")
       if (by1 > pageHeight) return Left(s"bbox at offset $off exceeds page height")
       if (p.pageNumbers(i) < 1) return Left(s"bbox at offset $off has non-positive page_number")
-      out += Geometry.CharBox(off, boxChar, p.pageNumbers(i) - 1, p.lineNumbers(i),
-        bx0, bx1, by0, by1)
+      pages0(i) = p.pageNumbers(i) - 1
       i += 1
     }
-    Right(out.result())
+    Right(new Geometry.CharGrid(p.offsets, p.chars, pages0, p.lineNumbers,
+      p.x0, p.x1, p.y0, p.y1))
   }
 
   /** Payload constructor from char boxes (round-trip helper for tests and
@@ -78,4 +94,11 @@ object Ingest {
       chars.map(_.line).toArray,
       chars.map(_.x0).toArray, chars.map(_.x1).toArray,
       chars.map(_.y0).toArray, chars.map(_.y1).toArray)
+
+  /** Columnar payload constructor — shares the grid's arrays (only page
+    * numbers are re-based to the payload's 1-based contract).
+    */
+  def payloadOf(g: Geometry.CharGrid): CharBoxPayload =
+    CharBoxPayload(g.offsets, g.chars, g.pages.map(_ + 1), g.lines,
+      g.x0, g.x1, g.y0, g.y1)
 }

@@ -112,44 +112,44 @@ object Merge {
   def mergeVertical(
       text: String,
       chars: IndexedSeq[Geometry.CharBox],
+      rowsIn: Seq[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] =
+    mergeVertical(text, Geometry.CharGrid.fromCharBoxes(chars), rowsIn)
+
+  /** Columnar vertical merge: span boxes via binary-searched range scans,
+    * containment probes bounded to the line runs inside the union box —
+    * no per-(page,line) hash maps, no per-char objects.
+    */
+  def mergeVertical(
+      text: String,
+      g: Geometry.CharGrid,
       rowsIn: Seq[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] = {
-    // O(1) per-offset lookup + per-(page,line) buckets: span boxes scan only
-    // their own range and containment probes only the lines inside the
-    // union box — without this, every probe re-scanned the whole char array
-    val byOff = new Array[Geometry.CharBox](text.length)
-    chars.foreach(cb => if (cb.offset < text.length) byOff(cb.offset) = cb)
-    def boxOf(sp: Span): Option[Geometry.Box] = {
-      var x0 = Double.MaxValue; var y0 = Double.MaxValue
-      var x1 = Double.MinValue; var y1 = Double.MinValue
-      var page = -1; var line = -1; var sawMulti = false; var found = false
-      var i = sp.start
-      val lim = math.min(sp.end, text.length)
-      while (i < lim) {
-        val cb = byOff(i)
-        if (cb != null && cb.ch != ' ') {
-          found = true
-          if (cb.x0 < x0) x0 = cb.x0
-          if (cb.y0 < y0) y0 = cb.y0
-          if (cb.x1 > x1) x1 = cb.x1
-          if (cb.y1 > y1) y1 = cb.y1
-          if (page < 0) page = cb.page
-          if (line < 0) line = cb.line else if (line != cb.line) sawMulti = true
-        }
+    def boxOf(sp: Span): Option[Geometry.Box] =
+      Geometry.spanBox(g, sp.start, math.min(sp.end, text.length))
+    // per-line-run y-envelopes for bounded containment probes
+    val rs = g.runStarts
+    val nRuns = rs.length - 1
+    val runY0 = new Array[Double](nRuns)
+    val runY1 = new Array[Double](nRuns)
+    var r = 0
+    while (r < nRuns) {
+      var ly0 = Double.MaxValue; var ly1 = Double.MinValue
+      var i = rs(r)
+      while (i < rs(r + 1)) {
+        val j = g.order(i)
+        if (g.y0(j) < ly0) ly0 = g.y0(j)
+        if (g.y1(j) > ly1) ly1 = g.y1(j)
         i += 1
       }
-      if (!found) None else Some(Geometry.Box(x0, x1, y0, y1, page, if (sawMulti) -1 else line))
+      runY0(r) = ly0; runY1(r) = ly1
+      r += 1
     }
-    // line buckets with y-envelopes, for bounded containment probes
-    val lineBuckets: Map[(Int, Int), IndexedSeq[Geometry.CharBox]] =
-      chars.groupBy(cb => (cb.page, cb.line))
-    val bucketY: Map[(Int, Int), (Double, Double)] =
-      lineBuckets.view.mapValues(cs => (cs.iterator.map(_.y0).min, cs.iterator.map(_.y1).max)).toMap
-    def charsInBox(sel: Geometry.Box): Iterator[Geometry.CharBox] =
-      lineBuckets.iterator.flatMap { case ((page, line), cs) =>
-        val (ly0, ly1) = bucketY((page, line))
-        if (page != sel.page || ly1 < sel.y0 || ly0 > sel.y1) Iterator.empty
-        else cs.iterator.filter(cb =>
-          sel.x0 <= cb.x0 && cb.x1 <= sel.x1 && sel.y0 <= cb.y0 && cb.y1 <= sel.y1)
+    /** grid row indices fully inside `sel` on its page */
+    def charsInBox(sel: Geometry.Box): Iterator[Int] =
+      (0 until nRuns).iterator.flatMap { r =>
+        val j0 = g.order(rs(r))
+        if (g.pages(j0) != sel.page || runY1(r) < sel.y0 || runY0(r) > sel.y1) Iterator.empty
+        else (rs(r) until rs(r + 1)).iterator.map(g.order).filter(j =>
+          sel.x0 <= g.x0(j) && g.x1(j) <= sel.x1 && sel.y0 <= g.y0(j) && g.y1(j) <= sel.y1)
       }
 
     val out = Vector.newBuilder[(Scorer.Scored, Vector[Span])]
@@ -199,7 +199,7 @@ object Merge {
           false
         }
         charsInBox(Geometry.Box(ux0, ux1, uy0, uy1, r.page, -1))
-          .forall(cb => cb.ch == ' ' || inMember(cb.offset))
+          .forall(j => g.chars.charAt(j) == ' ' || inMember(g.offsets(j)))
       }
       rows.foreach { row =>
         if (buffer.nonEmpty && validVertical(row)) buffer :+= row

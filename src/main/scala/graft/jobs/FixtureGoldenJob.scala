@@ -75,10 +75,11 @@ object FixtureGoldenJob {
   private def frameOf(doc: FixtureProject.FixtureDoc)
       : (IndexedSeq[Span], Vector[FeatureFrame.Row]) = {
     val tokens = Rx.tokenSpans(doc.text, Tokenizers.whitespace).toIndexedSeq
-    val chars = Ingest
-      .validatedCharBoxes(doc.text, doc.payload, doc.pageWidth, doc.pageHeight)
+    val grid = Ingest
+      .validatedGrid(doc.text, doc.payload, doc.pageWidth, doc.pageHeight)
       .fold(e => throw new IllegalStateException(s"doc ${doc.id}: $e"), identity)
-    (tokens, FeatureFrame.assembleDoc(doc.text, chars, tokens, tokens))
+    (tokens, FeatureFrame.assembleDoc(doc.text, grid, tokens, tokens,
+      2, 2, firstWord = true, acrossLines = false, Nil, Nil))
   }
 
   /** Training hyperparameters of the composed golden — frozen once the
@@ -88,8 +89,8 @@ object FixtureGoldenJob {
     * positives — the regularization-free linear analog of the RF's
     * training-set memorization on this 5-doc corpus).
     */
-  final case class Hyper(iters: Int = 400, lr: Double = 1.0, l2: Double = 1e-6,
-      weightPower: Double = 0.4)
+  final case class Hyper(iters: Int = 80, lr: Double = 1.0, l2: Double = 1e-6,
+      weightPower: Double = 0.4, momentum: Double = 0.9)
 
   /** Train the multiclass scorer on the fixture training split. */
   def train(spark: SparkSession, root: String = DefaultRoot,
@@ -123,7 +124,7 @@ object FixtureGoldenJob {
       val classIdx = classes.zipWithIndex.toMap
       val ks = examples.map(ex => TrainScorerJob.ExampleK(classIdx(ex.label), ex.features))
       TrainScorerJob.fitSoftmax(ks, classes.length, dim, weights, classes = classes,
-        iters = hyper.iters, lr = hyper.lr, l2 = hyper.l2)
+        iters = hyper.iters, lr = hyper.lr, l2 = hyper.l2, momentum = hyper.momentum)
     } finally { examples.unpersist(); () }
   }
 

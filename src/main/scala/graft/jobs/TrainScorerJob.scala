@@ -139,6 +139,7 @@ object TrainScorerJob {
       ds: Dataset[ExampleK], numClasses: Int, dim: Int,
       classWeights: Array[Double],
       iters: Int = 200, lr: Double = 0.5, l2: Double = 1e-4,
+      momentum: Double = 0.0,
       classes: Array[String] = Array.empty): FittedK = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -149,6 +150,9 @@ object TrainScorerJob {
     val bcCW = spark.sparkContext.broadcast(classWeights)
     var w = Array.fill(numClasses)(new Array[Double](dim))
     var b = new Array[Double](numClasses)
+    // heavy-ball velocity (deterministic; momentum = 0 is plain GD)
+    val vW = Array.fill(numClasses)(new Array[Double](dim))
+    val vB = new Array[Double](numClasses)
     var loss = 0.0
     (0 until iters).foreach { _ =>
       val bcW = spark.sparkContext.broadcast((w, b))
@@ -206,9 +210,18 @@ object TrainScorerJob {
         }
         l += pl
       }
-      w = Array.tabulate(numClasses)(k =>
-        Array.tabulate(dim)(i => w(k)(i) - lr * (g(k)(i) / nW + l2 * w(k)(i))))
-      b = Array.tabulate(numClasses)(k => b(k) - lr * gB(k) / nW)
+      var k = 0
+      while (k < numClasses) {
+        var i = 0
+        while (i < dim) {
+          vW(k)(i) = momentum * vW(k)(i) - lr * (g(k)(i) / nW + l2 * w(k)(i))
+          i += 1
+        }
+        vB(k) = momentum * vB(k) - lr * gB(k) / nW
+        k += 1
+      }
+      w = Array.tabulate(numClasses)(k => Array.tabulate(dim)(i => w(k)(i) + vW(k)(i)))
+      b = Array.tabulate(numClasses)(k => b(k) + vB(k))
       loss = l / nW
       bcW.destroy()
     }
@@ -278,7 +291,8 @@ object TrainScorerJob {
         val positives = doc.labels.filter(_.label == targetLabel)
           .map(l => Span(l.start, l.end)).toIndexedSeq
         graft.engine.FeatureFrame
-          .assembleDoc(text, graft.core.Geometry.syntheticCharBoxes(text), cands, cands)
+          .assembleDoc(text, graft.core.Geometry.syntheticGrid(text), cands, cands,
+            2, 2, firstWord = true, acrossLines = false, Nil, Nil)
           .iterator.map { r =>
             val inside = positives.exists(p => p.start <= r.start && r.end <= p.end)
             Example(if (inside) 1.0 else 0.0, r.features)

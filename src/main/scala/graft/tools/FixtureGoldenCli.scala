@@ -41,7 +41,8 @@ object FixtureGoldenCli {
     val hp = args.filterNot(_.startsWith("/"))
     val hyper =
       if (hp.length >= 4)
-        FixtureGoldenJob.Hyper(hp(0).toInt, hp(1).toDouble, hp(2).toDouble, hp(3).toDouble)
+        FixtureGoldenJob.Hyper(hp(0).toInt, hp(1).toDouble, hp(2).toDouble, hp(3).toDouble,
+          if (hp.length >= 5) hp(4).toDouble else 0.0)
       else FixtureGoldenJob.Hyper()
     val spark = SparkSession.builder()
       .appName("graft-fixture-golden")

@@ -25,7 +25,6 @@ class FixtureGoldenSpec extends AnyFunSuite {
     ("Austellungsdatum", 159, 169, "22.05.2018"),
     ("Personalausweis", 352, 357, "00104"),
     ("Steuerklasse", 365, 366, "1"),
-    ("Steuerklasse", 891, 892, "L"),
     ("Personalausweis", 1194, 1199, "00104"),
     ("Gesamt-Brutto", 1498, 1504, "198,34"),
     ("Vorname", 1507, 1518, "Erna-Muster"),
@@ -40,8 +39,7 @@ class FixtureGoldenSpec extends AnyFunSuite {
     ("Sozialversicherung", 2281, 2285, "2062"),
     ("Sozialversicherung", 2292, 2296, "1417"),
     ("Steuerrechtliche Abzüge", 2324, 2330, "292,11"),
-    ("Sozialversicherung", 2685, 2701, "3.12000    26208"),
-    ("Sozialversicherung", 2714, 2727, "4680     3978"),
+    ("Sozialversicherung", 2685, 2692, "3.12000"),
     ("Steuerrechtliche Abzüge", 2734, 2740, "638,82"),
     ("Netto-Verdienst", 3004, 3012, "2.189,07"),
     ("Steuer-Brutto", 3141, 3149, "42.42950"),
@@ -74,8 +72,8 @@ class FixtureGoldenSpec extends AnyFunSuite {
     assert(tp == 20, s"strict TP $tp")
     // the reference's own frozen contract on this doc is f1 = 0.8108
     // (test_information_extraction.py:169); the engine's deterministic
-    // softmax scores 0.8889 — keep a hard floor above the reference
-    assert(f1 >= 0.85, s"strict F1 $f1")
+    // softmax scores 0.9302 — keep a hard floor above the reference
+    assert(f1 >= 0.90, s"strict F1 $f1")
   }
 
   test("all 20 of the reference's entity_results_data tuples are recovered") {
