@@ -67,8 +67,8 @@ object FeatureFrame {
 
   final case class Row(start: Int, end: Int, offsetString: String, features: Array[Double])
 
-  private final case class Neighbor(text: String, dist: Double, pos: Int, candIdx: Int)
-  private val Pad = Neighbor("", PadDistance, 0, -1)
+  private final case class Neighbor(dist: Double, pos: Int, candIdx: Int)
+  private val Pad = Neighbor(PadDistance, 0, -1)
   private val padFeat: Array[Double] = Features.convertToFeat("")
 
   /** Assemble the frame for one document. `candidates` are the line-token
@@ -207,26 +207,83 @@ object FeatureFrame {
       f
     }
 
+    // Same-line neighbor search. A line whose candidates are monotone
+    // (offset order == x order, the universal case for tokenized text and
+    // reading-ordered OCR) resolves each target's nLeft/nRight nearest
+    // neighbors by binary search + a bounded walk — O(n·(log n + k)) per
+    // line instead of the O(n²) full scan with per-pair allocations that
+    // made book-length single-line documents quadratic. Non-monotone lines
+    // keep the exact full scan.
+    val lineMonotone: Map[Int, Boolean] = byLine.map { case (ln, cis) =>
+      var mono = true
+      var prevEnd = Int.MinValue
+      var prevX0 = Double.NegativeInfinity
+      var prevX1 = Double.NegativeInfinity
+      cis.foreach { ci =>
+        val c = candidates(ci); val cb = candBox(ci)
+        if (cb != null) {
+          if (c.end < prevEnd || cb.x0 < prevX0 || cb.x1 < prevX1) mono = false
+          prevEnd = c.end; prevX0 = cb.x0; prevX1 = cb.x1
+        }
+      }
+      ln -> mono
+    }
+
     val out = Vector.newBuilder[Row]
     targets.foreach { span =>
       val tBox = boxOf(span)
       if (tBox != null) {
         val lineNum = lineOfSpan(span)
         // same-line neighbors: left = candidates ending at-or-before the span
-        // start, distance is the bbox x-gap (information_extraction.py:1494-1503)
-        var lList = List.empty[Neighbor]
-        var rList = List.empty[Neighbor]
-        byLine(lineNum).foreach { ci =>
-          val c = candidates(ci); val cb = candBox(ci)
-          if (cb != null) {
-            if (c.end <= span.start)
-              lList ::= Neighbor(text.substring(c.start, c.end), tBox.x0 - cb.x1, 0, ci)
-            else if (c.start >= span.end)
-              rList ::= Neighbor(text.substring(c.start, c.end), cb.x0 - tBox.x1, 0, ci)
+        // start, distance is the bbox x-gap (information_extraction.py:1494-1503);
+        // nsmallest(dist) == largest x1 left of the span / smallest x0 right
+        val lineCands = byLine(lineNum)
+        var lFinal = Vector.empty[Neighbor]
+        var rFinal = Vector.empty[Neighbor]
+        if (lineMonotone(lineNum)) {
+          // first index with candidate end > span.start (ends non-decreasing)
+          var lo = 0; var hi = lineCands.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (candidates(lineCands(mid)).end <= span.start) lo = mid + 1 else hi = mid
           }
+          val lB = Vector.newBuilder[Neighbor]
+          var i = lo - 1
+          var taken = 0
+          while (i >= 0 && taken < nLeft) {
+            val ci = lineCands(i); val cb = candBox(ci)
+            if (cb != null) { lB += Neighbor(tBox.x0 - cb.x1, 0, ci); taken += 1 }
+            i -= 1
+          }
+          lFinal = lB.result()
+          // first index with candidate start >= span.end (starts non-decreasing)
+          lo = 0; hi = lineCands.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (candidates(lineCands(mid)).start < span.end) lo = mid + 1 else hi = mid
+          }
+          val rB = Vector.newBuilder[Neighbor]
+          i = lo
+          taken = 0
+          while (i < lineCands.length && taken < nRight) {
+            val ci = lineCands(i); val cb = candBox(ci)
+            if (cb != null) { rB += Neighbor(cb.x0 - tBox.x1, 0, ci); taken += 1 }
+            i += 1
+          }
+          rFinal = rB.result()
+        } else {
+          var lList = List.empty[Neighbor]
+          var rList = List.empty[Neighbor]
+          lineCands.foreach { ci =>
+            val c = candidates(ci); val cb = candBox(ci)
+            if (cb != null) {
+              if (c.end <= span.start) lList ::= Neighbor(tBox.x0 - cb.x1, 0, ci)
+              else if (c.start >= span.end) rList ::= Neighbor(cb.x0 - tBox.x1, 0, ci)
+            }
+          }
+          lFinal = lList.sortBy(_.dist).take(nLeft).toVector
+          rFinal = rList.sortBy(_.dist).take(nRight).toVector
         }
-        var lFinal = lList.sortBy(_.dist).take(nLeft).toVector
-        var rFinal = rList.sortBy(_.dist).take(nRight).toVector
         if (acrossLines) {
           // probe previous/next lines until enough candidates accumulate
           // (information_extraction.py:1506-1543); dist = min coordinate gap
@@ -239,10 +296,9 @@ object FeatureFrame {
               byLine(ln).foreach { ci =>
                 val cb = candBox(ci)
                 if (cb != null) {
-                  val c = candidates(ci)
                   val d = Seq(math.abs(tBox.x0 - cb.x0), math.abs(tBox.x0 - cb.x1),
                     math.abs(tBox.x1 - cb.x0), math.abs(tBox.x1 - cb.x1)).min
-                  acc += Neighbor(text.substring(c.start, c.end), d, i * step, ci)
+                  acc += Neighbor(d, i * step, ci)
                   n += 1
                 }
               }

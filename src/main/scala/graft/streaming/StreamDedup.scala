@@ -35,4 +35,59 @@ object StreamDedup {
           }
       }
   }
+
+  final case class Doc(id: Long, text: String)
+  final case class NearDupVerdict(id: Long, is_near_dup: Boolean, matched_id: Long)
+
+  /** Streaming NEAR-dup suppression — the streaming face of
+    * [[graft.engine.Dedup.minhashNearDups]]: each arriving document fans out
+    * to its LSH band keys (one row per band, shuffle on the band key); per
+    * band key the state holds the (id, signature) pairs seen so far, and a
+    * new arrival is a near-dup when its signature-estimated Jaccard against
+    * any stored member reaches `threshold`. A document survives only if NO
+    * band flags it, so the final per-id vote is a second keyed aggregation.
+    *
+    * State discipline at 10^12 scale: state is per BAND KEY (the same
+    * shuffle key as the batch operator), each cell capped at `maxBucket`
+    * members — a boilerplate-hot band stores the first `maxBucket`
+    * signatures and still flags near-dups against them (same keeper-style
+    * bounded-recall tradeoff as the batch cap, disclosed there). Signatures
+    * are 64 longs/doc; a TTL would bound the store for windowed dedup.
+    *
+    * Emits one verdict per (doc, band); callers reduce to per-doc verdicts
+    * with `groupBy(id).agg(max(is_near_dup))` — kept separate so the heavy
+    * stateful stage stays a single flatMapGroupsWithState.
+    */
+  def nearDupVerdictsPerBand(
+      ds: Dataset[Doc],
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): Dataset[NearDupVerdict] = {
+    import graft.core.Fingerprint
+    implicit val outEnc = Encoders.product[NearDupVerdict]
+    implicit val stateEnc = Encoders.kryo[List[(Long, Array[Long])]]
+    implicit val keyedEnc = Encoders.product[(Long, Long, Array[Long])]
+    ds.mapPartitions { it =>
+      it.flatMap { d =>
+        val sig = Fingerprint.minhash(Fingerprint.shingles(d.text, 3))
+        Fingerprint.bandKeys(sig).iterator.map(b => (b, d.id, sig))
+      }
+    }
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Array[Long])], state: GroupState[List[(Long, Array[Long])]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[NearDupVerdict]
+          // arrival order within a batch is made deterministic by id
+          rows.toVector.sortBy(_._2).foreach { case (_, id, sig) =>
+            val hit = members.find { case (_, mSig) =>
+              Fingerprint.estimatedJaccard(sig, mSig) >= threshold
+            }
+            out += NearDupVerdict(id, hit.isDefined, hit.map(_._1).getOrElse(-1L))
+            if (hit.isEmpty && members.size < maxBucket) members = (id, sig) :: members
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
 }

@@ -31,6 +31,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L))) // exact dup
     assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // lazy mode returns the identical pair set through a fully-recomputable
+    // plan (no cache, no checkpoint — the preemption-safe variant)
+    val lazyPairs = Dedup.minhashNearDups(ds, 0.7, eager = false)
+      .collect().map(p => (p.a, p.b)).toSet
+    assert(lazyPairs == pairs)
   }
 
   test("simhash near-dups via hamming blocking") {

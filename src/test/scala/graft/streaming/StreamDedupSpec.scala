@@ -31,4 +31,32 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(got.map(r => (r.key, r.id)).toSeq == Seq(("h1", 1L), ("h2", 2L), ("h3", 5L)))
     } finally query.stop()
   }
+
+  test("streaming minhash near-dup flags later near-copies across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60 distinct tokens -> 58 distinct word-trigrams; editing the last
+    // token perturbs only the tail shingles (true Jaccard ~0.95)
+    val base = (0 until 60).map(i => f"word$i%02d").mkString(" ")
+    val nearCopy = base.dropRight(6) + "edited"
+    val distinct = (0 until 60).map(i => f"other$i%02d").mkString(" ")
+    val input = MemoryStream[StreamDedup.Doc]
+    val qname = "stream_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = StreamDedup.nearDupVerdictsPerBand(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      input.addData(StreamDedup.Doc(1, base), StreamDedup.Doc(2, distinct))
+      query.processAllAvailable()
+      input.addData(StreamDedup.Doc(3, nearCopy), StreamDedup.Doc(4, base))
+      query.processAllAvailable()
+      // reduce per-band verdicts to one per doc (any band may flag)
+      val got = spark.table(qname).as[StreamDedup.NearDupVerdict].collect()
+        .groupBy(_.id).view.mapValues(_.exists(_.is_near_dup)).toMap
+      assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+      // the exact copy matched the original in every flagged band
+      val matched4 = spark.table(qname).as[StreamDedup.NearDupVerdict].collect()
+        .filter(v => v.id == 4 && v.is_near_dup).map(_.matched_id).toSet
+      assert(matched4 == Set(1L))
+    } finally query.stop()
+  }
 }
