@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * extraction job on the SAME input at N and 4N parallelism (local[8] vs
   * local[32] — the sandbox stand-in for N vs 4N executors) and report
   * throughput at both plus efficiency = (T_N / T_4N) / 4. Writes/updates
-  * BENCH.md and prints one JSON line.
+  * BENCH_SCALING.md and prints one JSON line.
   */
 object ScalingBench {
 
@@ -160,6 +160,8 @@ object ScalingBench {
          |$best
          |```
          |""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.md"), md)
+    // BENCH.md is hand-curated per round (side-by-side driver vs builder
+    // windows, per-query analysis); the machine snapshot goes to its own file
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING.md"), md)
   }
 }
