@@ -340,6 +340,13 @@ object SparkEntry {
           round(col("l_extendedprice") * 100).cast("long").as("cents"),
           date_format(col("l_shipdate"), "dd.MM.yyyy").as("gdate"),
           round(col("l_discount") * 100).cast("long").as("pct"))
+        // deterministic total order WITHOUT re-executing the extraction: a
+        // global orderBy AFTER the mapPartitions range-samples its child,
+        // which runs the expensive kernel twice. Range-partition the CHEAP
+        // input instead (sampling re-reads only the pruned lineitem scan),
+        // extract, then sort within partitions — same total order, the
+        // kernel runs once.
+        .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
         .as[(Long, Int, Long, String, Long)]
         .mapPartitions(_.flatMap { case (ok, ln, cents, gdate, pct) =>
           // quantity stays 2-digit: 4/6/8-digit bare integers are
@@ -356,7 +363,7 @@ object SparkEntry {
           }
         })
         .toDF("l_orderkey", "l_linenumber", "label", "span_text", "norm_num", "norm_str")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("label"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"), col("label"))
     }),
     "q25_normalize_number" -> ((s, dir) => {
       // N2 against an arithmetic oracle: German-formatted amounts round-trip
@@ -508,7 +515,12 @@ object SparkEntry {
       // closed-form: lines = ceil(ntok/8); a 3-space gap (18 units) breaks
       // a word-run (maxGap 1.5 x meanW 6 = 9), a single space (6) does not.
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      // range-partition the cheap input so the output order needs only an
+      // in-partition sort — a global orderBy after the kernel would sample
+      // (= re-execute) the whole geometry pass
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(32, col("doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val toks = text.split(' ')
           val sb = new java.lang.StringBuilder(text.length + toks.length * 2)
@@ -544,7 +556,7 @@ object SparkEntry {
             boxed)
         })
         .toDF("doc_id", "n_line_boxes", "n_merged_boxes", "n_boxed_chars")
-        .orderBy(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
     "q36_section_assign" -> ((s, dir) => {
       // C6: as-of routing — each chunk joins the latest preceding section
@@ -579,7 +591,11 @@ object SparkEntry {
       val (iL0, iL1, iR0) = (ix("l_dist0"), ix("l_dist1"), ix("r_dist0"))
       val (iL0Len, iR0Len) = (ix("l0_feat_len"), ix("r0_feat_len"))
       val (iFwX1, iFwY1) = (ix("first_word_x1"), ix("first_word_y1"))
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      // range-partition the cheap input; a global orderBy after the kernel
+      // would sample (= re-execute) the whole frame assembly
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(32, col("doc_id"))
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val toks = Rx.tokenSpans(text, Tokenizers.whitespace).toIndexedSeq
           FeatureFrame.assembleDoc(text, Geometry.syntheticGrid(text), toks, toks,
@@ -594,7 +610,7 @@ object SparkEntry {
         .toDF("doc_id", "start", "offset_string", "feat_len", "feat_digit_len", "feat_vowel_len",
           "x0", "x1", "area_quadrant_two", "l_dist0", "l_dist1", "r_dist0",
           "l0_feat_len", "r0_feat_len", "first_word_x1", "first_word_y1", "width")
-        .orderBy(col("doc_id"), col("start"))
+        .sortWithinPartitions(col("doc_id"), col("start"))
     }),
     "q39_label_distribution" -> ((s, dir) => {
       // E10: label share across the derived annotation set
@@ -767,7 +783,9 @@ object SparkEntry {
         substringFeatures = substrings, catchphrases = phrases)
       val iWop = names.indexOf("word_on_page_feat0")
       val iCat = names.indexOf("catchphrase_dist_table")
-      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(32, col("doc_id")) // see q38: avoid kernel re-execution
+        .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           val toks = text.split(' ')
           val sb = new java.lang.StringBuilder(text.length)
@@ -785,7 +803,7 @@ object SparkEntry {
               r.features(iWop).toLong, r.features(iCat).toLong, r.features.length.toLong))
         })
         .toDF("doc_id", "start", "token", "word_on_page_spark", "catchphrase_dist_table", "width")
-        .orderBy(col("doc_id"), col("start"))
+        .sortWithinPartitions(col("doc_id"), col("start"))
     }),
     "q35_eval_pipeline" -> ((s, dir) => {
       // E1-E6 end-to-end: ground truth vs noisy predictions → TP/FP/FN sums
