@@ -506,6 +506,45 @@ object SparkEntry {
         .toDF("media_id", "media_type", "n_bytes", "payload_hex", "frames_sampled")
         .orderBy(col("media_id"))
     }),
+    "q51_image_decode" -> ((s, _) => {
+      // REAL image decode through the JDK's headless ImageIO: encode a
+      // closed-form pixel pattern as PNG (lossless), decode it back through
+      // the production ImageCodec, and emit exact integer pixel statistics —
+      // the oracle recomputes every value from the pattern formula, so a
+      // decode/pooling regression breaks the hash. This is the image leg of
+      // the multimodal surface, stub-free.
+      import s.implicits._
+      s.range(0L, 500L, 1L, 8).as[Long]
+        .mapPartitions(_.map { i =>
+          val w = 16 + (i % 5).toInt
+          val h = 12 + (i % 3).toInt
+          val png = Multimodal.ImageCodec.patternPng(i, w, h)
+          val f = Multimodal.ImageCodec.decode(png)
+            .getOrElse(throw new IllegalStateException(s"PNG $i failed to decode"))
+          // exact integer sums of the corner grid cells (x*4/w == 0 / == 3)
+          (i, f.width.toLong, f.height.toLong, f.lumaSum, f.edgeSum)
+        })
+        .toDF("media_id", "width", "height", "luma_sum", "edge_sum")
+        .orderBy(col("media_id"))
+    }),
+    "q52_audio_decode" -> ((s, _) => {
+      // REAL RIFF/PCM16 WAV parse: closed-form triangle-ish wave → encode →
+      // decode through the production WavCodec → exact integer statistics
+      // (sample count, abs-sum, zero crossings), all recomputed by the
+      // oracle from the waveform formula.
+      import s.implicits._
+      s.range(0L, 500L, 1L, 8).as[Long]
+        .mapPartitions(_.map { i =>
+          val n = 800 + (i % 100).toInt
+          val wav = Multimodal.WavCodec.patternWav(i, n)
+          val f = Multimodal.WavCodec.decode(wav)
+            .getOrElse(throw new IllegalStateException(s"WAV $i failed to parse"))
+          (i, f.sampleRate.toLong, f.channels.toLong, f.nSamples.toLong,
+            f.absSum, f.zeroCrossings.toLong)
+        })
+        .toDF("media_id", "sample_rate", "channels", "n_samples", "abs_sum", "zero_crossings")
+        .orderBy(col("media_id"))
+    }),
     "q34_geometry" -> ((s, dir) => {
       // §2.13 + S3: rebuild each doc with structure (every 8th token
       // boundary becomes a newline, every 5th a 3-space run), emit the grid
@@ -1224,6 +1263,48 @@ object SparkEntry {
         |    ELSE 1 END AS BIGINT) AS frames_sampled
         |FROM m JOIN hexs ON m.media_id = hexs.media_id
         |ORDER BY media_id""".stripMargin,
+    // q51: the PNG round-trip is lossless, so every decoded pixel statistic
+    // is recomputable from the pattern formula in exact integer arithmetic
+    "q51_image_decode" ->
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |    16 + CAST(i % 5 AS INT) AS w, 12 + CAST(i % 3 AS INT) AS h
+        |  FROM range(0, 500) t(i)),
+        |xs AS (SELECT CAST(x AS INT) AS x FROM range(0, 21) t(x)),
+        |ys AS (SELECT CAST(y AS INT) AS y FROM range(0, 15) t(y)),
+        |px AS (
+        |  SELECT media_id, w, h, x, y,
+        |    (299 * ((x*17 + y*3 + media_id) % 256)
+        |     + 587 * ((x*5 + y*29 + 2*media_id) % 256)
+        |     + 114 * ((x*11 + y*13 + 3*media_id) % 256)) // 1000 AS luma
+        |  FROM ids JOIN xs ON x < w JOIN ys ON y < h),
+        |edges AS (
+        |  SELECT media_id, sum(abs(luma - prev)) AS es FROM (
+        |    SELECT media_id, y, x, luma,
+        |      lag(luma) OVER (PARTITION BY media_id, y ORDER BY x) AS prev
+        |    FROM px) q WHERE prev IS NOT NULL GROUP BY media_id)
+        |SELECT p.media_id AS media_id, CAST(max(w) AS BIGINT) AS width,
+        |  CAST(max(h) AS BIGINT) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum, CAST(max(es) AS BIGINT) AS edge_sum
+        |FROM px p JOIN edges e ON p.media_id = e.media_id
+        |GROUP BY p.media_id ORDER BY media_id""".stripMargin,
+    // q52: RIFF/PCM16 round-trip is exact; waveform statistics recomputed
+    // from the closed-form triangle wave
+    "q52_audio_decode" ->
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |    800 + CAST(i % 100 AS INT) AS n FROM range(0, 500) t(i)),
+        |ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(0, 900) t(k)),
+        |smp AS (SELECT media_id, k,
+        |    (k * (17 + media_id % 13)) % 2048 - 1024 AS v
+        |  FROM ids JOIN ks ON k < n),
+        |z AS (SELECT media_id, v,
+        |    CASE WHEN lag(v) OVER w IS NULL THEN 0
+        |         WHEN (v < 0) <> (lag(v) OVER w < 0) THEN 1 ELSE 0 END AS c
+        |  FROM smp WINDOW w AS (PARTITION BY media_id ORDER BY k))
+        |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+        |  CAST(sum(c) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
     "q34_geometry" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
         |d AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok,

@@ -23,6 +23,11 @@ object QueryCli {
       val n = fn(spark, sfDir).count()
       println(f"[querycli] $name trial $t: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
     }
+    // optional parquet dump for ad-hoc oracle comparison
+    sys.env.get("SPARK_GRAFT_DUMP").foreach { out =>
+      fn(spark, sfDir).write.mode("overwrite").parquet(s"$out/$name")
+      println(s"[querycli] dumped to $out/$name")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,101 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real multimodal codecs: PNG decode through headless ImageIO with exact
+  * integer statistics + grid-luma embedding, RIFF/PCM16 WAV parse, and the
+  * decodeFeatures routing (real image/audio paths, stub only for video).
+  */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  test("PNG round-trip: decoded statistics equal the pattern's closed form") {
+    val (seed, w, h) = (7L, 16, 12)
+    val png = Multimodal.ImageCodec.patternPng(seed, w, h)
+    val f = Multimodal.ImageCodec.decode(png).get
+    assert(f.width == w && f.height == h)
+    var lumaSum = 0L
+    var edgeSum = 0L
+    val lumas = Array.ofDim[Int](h, w)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((x * 17 + y * 3 + seed) % 256).toInt
+      val g = ((x * 5 + y * 29 + 2 * seed) % 256).toInt
+      val b = ((x * 11 + y * 13 + 3 * seed) % 256).toInt
+      lumas(y)(x) = (299 * r + 587 * g + 114 * b) / 1000
+      lumaSum += lumas(y)(x)
+      if (x > 0) edgeSum += math.abs(lumas(y)(x) - lumas(y)(x - 1))
+    }
+    assert(f.lumaSum == lumaSum)
+    assert(f.edgeSum == edgeSum)
+    // grid embedding: cell (0,0) = mean luma of the top-left 4x3 block / 255
+    val cell0 = (for (y <- 0 until 3; x <- 0 until 4) yield lumas(y)(x)).sum / 12.0 / 255.0
+    assert(math.abs(f.gridEmbedding(0) - cell0) < 1e-6)
+    assert(f.gridEmbedding.length == 16)
+  }
+
+  test("image embedding is a locality-sensitive descriptor") {
+    val a = Multimodal.ImageCodec.decode(Multimodal.ImageCodec.patternPng(1, 16, 12)).get
+    // same generator seed at 2x the canvas: not a literal rescale (the
+    // pattern uses absolute coordinates) but visually the same gradient
+    val b = Multimodal.ImageCodec.decode(Multimodal.ImageCodec.patternPng(1, 32, 24)).get
+    val c = Multimodal.ImageCodec.decode(Multimodal.ImageCodec.patternPng(200, 16, 12)).get
+    def cos(x: Array[Float], y: Array[Float]): Double = Similarity.cosine(x, y)
+    assert(cos(a.gridEmbedding, b.gridEmbedding) > 0.9, "similar image stays close")
+    assert(cos(a.gridEmbedding, b.gridEmbedding) > cos(a.gridEmbedding, c.gridEmbedding))
+  }
+
+  test("WAV round-trip: decoded statistics equal the waveform's closed form") {
+    val (seed, n) = (5L, 850)
+    val wav = Multimodal.WavCodec.patternWav(seed, n)
+    val f = Multimodal.WavCodec.decode(wav).get
+    assert(f.sampleRate == 8000 && f.channels == 1 && f.nSamples == n)
+    var absSum = 0L
+    var crossings = 0
+    var prevNeg = false
+    for (k <- 0 until n) {
+      val v = (((k * (17 + (seed % 13))) % 2048) - 1024).toInt
+      absSum += math.abs(v)
+      val neg = v < 0
+      if (k > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+    }
+    assert(f.absSum == absSum)
+    assert(f.zeroCrossings == crossings)
+  }
+
+  test("non-media bytes are rejected, not misparsed") {
+    assert(Multimodal.ImageCodec.decode(Array.tabulate(256)(_.toByte)).isEmpty)
+    assert(Multimodal.WavCodec.decode(Array.tabulate(256)(_.toByte)).isEmpty)
+  }
+
+  test("image near-dup end-to-end: decode → grid embedding → embeddingNearDups") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 40 distinct pattern images plus an exact re-encode of image 0: the
+    // composed multimodal→dedup path must pair the copy with its original
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Multimodal.ImageCodec.decode(
+        Multimodal.ImageCodec.patternPng(i * 31L, 16, 12)).get.gridEmbedding)) :+
+      (100L, Multimodal.ImageCodec.decode(
+        Multimodal.ImageCodec.patternPng(0L, 16, 12)).get.gridEmbedding)
+    val df = spark.createDataset(rows).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", threshold = 0.9999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), s"exact image copy not paired: $pairs")
+  }
+
+  test("decodeFeatures routes real image payloads through ImageCodec") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val png = Multimodal.ImageCodec.patternPng(3, 16, 12)
+    val rows = Seq(
+      Multimodal.MediaRow(1, "image", png, 16, 12, 0),
+      Multimodal.MediaRow(2, "audio", Multimodal.WavCodec.patternWav(3, 800), 0, 0, 100),
+      Multimodal.MediaRow(3, "video", Array.tabulate(64)(_.toByte), 0, 0, 5000))
+    val got = Multimodal.decodeFeatures(spark.createDataset(rows)).collect().sortBy(_.media_id)
+    val expected = Multimodal.ImageCodec.decode(png).get.gridEmbedding
+    assert(got(0).embedding.toSeq == expected.toSeq, "image row carries the REAL grid embedding")
+    assert(got(0).frames_sampled == 1)
+    assert(got(1).frames_sampled == 1, "800 samples @8kHz = 0.1s -> 1 analysis window")
+    assert(got(2).frames_sampled == 5, "video stays on the stub plan (1 fps)")
+  }
+}
