@@ -514,7 +514,9 @@ object SparkEntry {
       // decode/pooling regression breaks the hash. This is the image leg of
       // the multimodal surface, stub-free.
       import s.implicits._
-      s.range(0L, 500L, 1L, 8).as[Long]
+      s.range(0L, 500L, 1L, 8)
+        .repartitionByRange(8, col("id")) // sort keys fixed pre-kernel (see q24)
+        .as[Long]
         .mapPartitions(_.map { i =>
           val w = 16 + (i % 5).toInt
           val h = 12 + (i % 3).toInt
@@ -525,7 +527,7 @@ object SparkEntry {
           (i, f.width.toLong, f.height.toLong, f.lumaSum, f.edgeSum)
         })
         .toDF("media_id", "width", "height", "luma_sum", "edge_sum")
-        .orderBy(col("media_id"))
+        .sortWithinPartitions(col("media_id"))
     }),
     "q52_audio_decode" -> ((s, _) => {
       // REAL RIFF/PCM16 WAV parse: closed-form triangle-ish wave → encode →
@@ -533,7 +535,9 @@ object SparkEntry {
       // (sample count, abs-sum, zero crossings), all recomputed by the
       // oracle from the waveform formula.
       import s.implicits._
-      s.range(0L, 500L, 1L, 8).as[Long]
+      s.range(0L, 500L, 1L, 8)
+        .repartitionByRange(8, col("id")) // sort keys fixed pre-kernel (see q24)
+        .as[Long]
         .mapPartitions(_.map { i =>
           val n = 800 + (i % 100).toInt
           val wav = Multimodal.WavCodec.patternWav(i, n)
@@ -543,7 +547,7 @@ object SparkEntry {
             f.absSum, f.zeroCrossings.toLong)
         })
         .toDF("media_id", "sample_rate", "channels", "n_samples", "abs_sum", "zero_crossings")
-        .orderBy(col("media_id"))
+        .sortWithinPartitions(col("media_id"))
     }),
     "q34_geometry" -> ((s, dir) => {
       // §2.13 + S3: rebuild each doc with structure (every 8th token
