@@ -506,6 +506,46 @@ object SparkEntry {
         .toDF("media_id", "media_type", "n_bytes", "payload_hex", "frames_sampled")
         .orderBy(col("media_id"))
     }),
+    "q53_frame_crossline" -> ((s, dir) => {
+      // X4 cross-line variant INSIDE the assembled frame: with acrossLines
+      // on, a target short of same-line neighbors probes adjacent lines
+      // (reference py:1506-1560 — previous-line candidates reversed, pos =
+      // signed line distance). On the 8-token lattice the probe resolves to
+      // tokens i±1/i±2 with line-delta positions, so every l/r dist+pos
+      // column has a closed form the oracle recomputes independently.
+      import s.implicits._
+      val names = FeatureFrame.featureNames(2, 2, firstWord = true, acrossLines = true)
+      def ix(n: String): Int = names.indexOf(n)
+      val (iLd0, iLd1, iLp0, iLp1) = (ix("l_dist0"), ix("l_dist1"), ix("l_pos0"), ix("l_pos1"))
+      val (iRd0, iRd1, iRp0, iRp1) = (ix("r_dist0"), ix("r_dist1"), ix("r_pos0"), ix("r_pos1"))
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(32, col("doc_id")) // see q24: single kernel execution
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val toks = text.split(' ')
+          val sb = new java.lang.StringBuilder(text.length)
+          var j = 0
+          while (j < toks.length) {
+            if (j > 0) sb.append(if (j % 8 == 0) '\n' else ' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          val m = sb.toString
+          val spans = Rx.tokenSpans(m, Tokenizers.whitespace).toIndexedSeq
+          FeatureFrame.assembleDoc(m, Geometry.syntheticGrid(m), spans, spans,
+              2, 2, firstWord = true, acrossLines = true, Nil, Nil)
+            .map { r =>
+              val f = r.features
+              (id, r.start.toLong,
+                f(iLd0).toLong, f(iLp0).toLong, f(iLd1).toLong, f(iLp1).toLong,
+                f(iRd0).toLong, f(iRp0).toLong, f(iRd1).toLong, f(iRp1).toLong,
+                f.length.toLong)
+            }
+        })
+        .toDF("doc_id", "start", "l_dist0", "l_pos0", "l_dist1", "l_pos1",
+          "r_dist0", "r_pos0", "r_dist1", "r_pos1", "width")
+        .sortWithinPartitions(col("doc_id"), col("start"))
+    }),
     "q51_image_decode" -> ((s, _) => {
       // REAL image decode through the JDK's headless ImageIO: encode a
       // closed-form pixel pattern as PNG (lossless), decode it back through
@@ -1267,6 +1307,44 @@ object SparkEntry {
         |    ELSE 1 END AS BIGINT) AS frames_sampled
         |FROM m JOIN hexs ON m.media_id = hexs.media_id
         |ORDER BY media_id""".stripMargin,
+    // q53: cross-line neighbor dists/positions over the 8-token lattice —
+    // neighbors are tokens i±1/i±2; same-line dist is the x-gap, cross-line
+    // dist is the min corner gap, pos is the signed line delta, pad 100000/0
+    "q53_frame_crossline" ->
+      """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, ps[i] AS tok,
+        |    CAST(COALESCE(sum(length(ps[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s
+        |  FROM parts JOIN nums ON i <= len(ps)),
+        |pos AS (SELECT doc_id, i, tok, s, length(tok) AS len,
+        |        CAST((i - 1) // 8 AS INT) AS line FROM tok WHERE tok <> ''),
+        |ls AS (SELECT doc_id, line, min(s) AS lstart FROM pos GROUP BY doc_id, line),
+        |cx AS (SELECT p.doc_id, i, s, p.line AS line,
+        |        6.0 * (s - lstart) AS x0, 6.0 * (s - lstart + len) AS x1
+        |       FROM pos p JOIN ls ON p.doc_id = ls.doc_id AND p.line = ls.line),
+        |n AS (SELECT doc_id, i, s, line, x0, x1,
+        |    lag(line) OVER w AS al, lag(x0) OVER w AS ax0, lag(x1) OVER w AS ax1,
+        |    lag(line, 2) OVER w AS bl, lag(x0, 2) OVER w AS bx0, lag(x1, 2) OVER w AS bx1,
+        |    lead(line) OVER w AS cl, lead(x0) OVER w AS cx0, lead(x1) OVER w AS cx1,
+        |    lead(line, 2) OVER w AS dl, lead(x0, 2) OVER w AS dx0, lead(x1, 2) OVER w AS dx1
+        |  FROM cx WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+        |SELECT doc_id, CAST(s AS BIGINT) AS start,
+        |  CAST(CASE WHEN al IS NULL THEN 100000 WHEN al = line THEN x0 - ax1
+        |    ELSE least(abs(x0-ax0), abs(x0-ax1), abs(x1-ax0), abs(x1-ax1)) END AS BIGINT) AS l_dist0,
+        |  CAST(CASE WHEN al IS NULL OR al = line THEN 0 ELSE al - line END AS BIGINT) AS l_pos0,
+        |  CAST(CASE WHEN bl IS NULL THEN 100000 WHEN bl = line THEN x0 - bx1
+        |    ELSE least(abs(x0-bx0), abs(x0-bx1), abs(x1-bx0), abs(x1-bx1)) END AS BIGINT) AS l_dist1,
+        |  CAST(CASE WHEN bl IS NULL OR bl = line THEN 0 ELSE bl - line END AS BIGINT) AS l_pos1,
+        |  CAST(CASE WHEN cl IS NULL THEN 100000 WHEN cl = line THEN cx0 - x1
+        |    ELSE least(abs(x0-cx0), abs(x0-cx1), abs(x1-cx0), abs(x1-cx1)) END AS BIGINT) AS r_dist0,
+        |  CAST(CASE WHEN cl IS NULL OR cl = line THEN 0 ELSE cl - line END AS BIGINT) AS r_pos0,
+        |  CAST(CASE WHEN dl IS NULL THEN 100000 WHEN dl = line THEN dx0 - x1
+        |    ELSE least(abs(x0-dx0), abs(x0-dx1), abs(x1-dx0), abs(x1-dx1)) END AS BIGINT) AS r_dist1,
+        |  CAST(CASE WHEN dl IS NULL OR dl = line THEN 0 ELSE dl - line END AS BIGINT) AS r_pos1,
+        |  CAST(274 AS BIGINT) AS width
+        |FROM n ORDER BY doc_id, start""".stripMargin,
     // q51: the PNG round-trip is lossless, so every decoded pixel statistic
     // is recomputable from the pattern formula in exact integer arithmetic
     "q51_image_decode" ->
