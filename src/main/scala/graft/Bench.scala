@@ -36,21 +36,34 @@ object Bench {
     }
 
     // headline: extraction docs/sec over a materialized page table (the
-    // engine's contract input — scan → extract, same shape as ScalingBench)
+    // engine's contract input — scan → extract, same shape as ScalingBench).
+    // Measured in a FRESH session: a production extraction run is a dedicated
+    // job, not one scheduled behind 53 other queries in the same JVM session —
+    // the sweep leaves cached blocks/broadcasts/GC debt that depressed the
+    // post-sweep reading ~10× vs an identical fresh-session run.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
     val pagesDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString + "/pages"
     graft.engine.Extraction.syntheticPages(spark, nDocs, cpus.toInt * 4)
       .write.mode("overwrite").parquet(pagesDir)
+    spark.stop()
+    val spark2 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark2.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions.{col, count, lit, sum => sqlsum}
-    import spark.implicits._
+    import spark2.implicits._
     var extracted = 0L
     var extractSec = Double.MaxValue
     // best of 3: the host's throughput drifts heavily between windows and
-    // the first trial additionally pays the query sweep's GC debt
+    // the first trial additionally pays the fresh session's JIT/codegen cost
     (0 until 3).foreach { _ =>
       val t0 = System.nanoTime()
       extracted = graft.engine.Extraction.extract(
-        spark.read.parquet(pagesDir).as[graft.engine.PageRow]).toDF()
+        spark2.read.parquet(pagesDir).as[graft.engine.PageRow]).toDF()
         .agg(count(lit(1)), sqlsum(col("n_tokens")))
         .collect()(0).getLong(0)
       extractSec = math.min(extractSec, (System.nanoTime() - t0) / 1e9)
@@ -68,6 +81,6 @@ object Bench {
         s""""failed":${failed.mkString("[", ",", "]")},"n_failed":${failed.size},""" +
         s""""extract_docs":$extracted,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
         s""""extract_docs_per_sec_per_core":$docsPerSecPerCore,"cpus":$cpus}""")
-    spark.stop()
+    spark2.stop()
   }
 }
