@@ -24,7 +24,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
     graft.engine.Extraction.extractDF(spark, 2000, cpus.toInt).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q24_extract_entities,q38_feature_frame narrows
+    // the sweep for single-query iteration; unset = full contract
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
