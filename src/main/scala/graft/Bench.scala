@@ -28,9 +28,34 @@ object Bench {
     // the sweep for single-query iteration; unset = full contract
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+
+    // Per-query warm-up at the smallest sf: the measured pass runs each
+    // query exactly ONCE in this fresh JVM, so without warm-up every number
+    // is first-execution cost — dominated by C2 compile queueing of the
+    // kernels and generated code, not the engine (q24 measured 15.9 s cold
+    // vs 2.4 s steady in the same JVM). Running the identical plans over
+    // the tiny sf warms the same generated classes and kernel JIT; the
+    // warm pass is disclosed, unmeasured, and skippable via
+    // SPARK_GRAFT_BENCH_WARM_DIR=none. sf-independent queries (fixture
+    // golden, synthetic decode lattices) do full work here — accepted cost.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != "none" && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      val t0 = System.nanoTime()
+      sweep.foreach { case (name, fn) =>
+        // q49 memoizes its composed train→extract per JVM (deliberate — the
+        // spec and oracle surface share one model); warming it would turn
+        // the measured pass into a cache hit, so it stays cold
+        if (name != "q49_fixture_golden") {
+          try fn(spark, warmDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
+        }
+      }
+      System.err.println(f"[bench] warm sweep over $warmDir: ${(System.nanoTime() - t0) / 1e9}%.1f s (unmeasured)")
+    }
+
+    val results = sweep.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
