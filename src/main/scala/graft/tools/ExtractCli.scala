@@ -10,9 +10,45 @@ import graft.corpus.WebCorpus
   *   runMain graft.tools.ExtractCli            # 3 synthetic pages
   *   runMain graft.tools.ExtractCli <n>        # n synthetic pages
   *   runMain graft.tools.ExtractCli --file x.html
+  *   runMain graft.tools.ExtractCli --bench n  # single-thread extractOne µbench
   */
 object ExtractCli {
+
+  /** Single-threaded extractOne microbenchmark over invoice-shaped lines
+    * (the q24 kernel shape) and synthetic web pages — isolates per-call
+    * kernel cost from Spark scheduling/serialization and host parallelism.
+    */
+  private def bench(n: Int): Unit = {
+    import graft.engine.{Extraction, PageRow}
+    def lineRow(i: Long): PageRow = {
+      val cents = 100000 + i * 37 % 900000
+      PageRow(s"$i", null, Array.empty[Byte],
+        s"Rechnung Anzahl ${i % 7 + 3} Betrag ${cents / 100},${"%02d".format(cents % 100)} " +
+          s"am 1${i % 9}.0${i % 9 + 1}.199${i % 10} Rabatt ${i % 11} % Kontakt kunde$i@firma.de", "")
+    }
+    def pageRow(i: Long): PageRow = {
+      val p = WebCorpus.page(i)
+      PageRow(p.url, null, p.html, null, "")
+    }
+    Seq[(String, Long => PageRow)]("invoice-line" -> lineRow, "web-page" -> pageRow).foreach {
+      case (label, mk) =>
+        var sink = 0L
+        (0 until 3).foreach { trial =>
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < n) { sink += Extraction.extractOne(mk(i)).labels.length; i += 1 }
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"$label trial $trial: $n docs in $sec%.3f s = ${n / sec}%.0f docs/s/thread (${sec / n * 1e6}%.1f µs/doc)")
+        }
+        println(s"  [sink=$sink]")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    args match {
+      case Array("--bench", n) if n.forall(_.isDigit) => bench(n.toInt); return
+      case _ => ()
+    }
     val htmls: Seq[(String, String)] = args match {
       case Array("--file", path) =>
         Seq((path, new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
