@@ -156,8 +156,18 @@ object Fingerprint {
     }
     while (i < n) {
       val c = text.charAt(i)
-      if (Character.isLetterOrDigit(c)) {
-        h = (h ^ Character.toLowerCase(c).toLong) * 0x100000001b3L // FNV prime
+      // ASCII fast path (bit-identical: isLetterOrDigit below 0x80 is
+      // [A-Za-z0-9], toLowerCase is +32 on [A-Z])
+      if (c < 0x80) {
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          h = (h ^ c.toLong) * 0x100000001b3L // FNV prime
+          inWord = true
+        } else if (c >= 'A' && c <= 'Z') {
+          h = (h ^ (c + 32).toLong) * 0x100000001b3L
+          inWord = true
+        } else if (inWord) { flush(); inWord = false }
+      } else if (Character.isLetterOrDigit(c)) {
+        h = (h ^ Character.toLowerCase(c).toLong) * 0x100000001b3L
         inWord = true
       } else if (inWord) { flush(); inWord = false }
       i += 1

@@ -42,8 +42,14 @@ object LangId {
     val lim = math.min(text.length, 4000)
     while (i < lim) {
       val c = text.charAt(i)
-      if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) han += 1
-      if (Character.isLetter(c)) total += 1
+      // ASCII fast path: UnicodeScript.of is a per-char binary search over
+      // the script ranges — never HAN below 0x80, and isLetter is [A-Za-z]
+      if (c < 0x80) {
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) total += 1
+      } else {
+        if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) han += 1
+        if (Character.isLetter(c)) total += 1
+      }
       i += 1
     }
     if (total > 0 && han * 2 > total) return "zh"
@@ -70,7 +76,14 @@ object LangId {
     }
     while (i < text.length && nTok < maxTokens) {
       val c = text.charAt(i)
-      if (Character.isLetter(c)) sb.append(Character.toLowerCase(c)) else flush()
+      // ASCII fast path (bit-identical: isLetter below 0x80 is [A-Za-z],
+      // toLowerCase is +32 on [A-Z])
+      if (c < 0x80) {
+        if (c >= 'a' && c <= 'z') sb.append(c)
+        else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+        else flush()
+      } else if (Character.isLetter(c)) sb.append(Character.toLowerCase(c))
+      else flush()
       i += 1
     }
     if (nTok < maxTokens) flush()

@@ -32,6 +32,16 @@ object KernelBench {
         Extraction.extractOne(PageRow(p.url, p.warc_ts, p.html, p.text, p.lang)).n_tokens.toLong
       },
     )
+    // tail components over a fixed pre-extracted text corpus — where do the
+    // ~40 µs/doc between gen+html+tok+score and full go?
+    val texts = (0L until 256L).map { i =>
+      graft.core.Html.extract(graft.core.Html.decodeBytes(WebCorpus.page(i).html)).text
+    }.toArray
+    val tails: Seq[(String, Long => Long)] = Seq(
+      "tail_sha256" -> { i => Extraction.sha256Hex(texts((i % 256).toInt)).length.toLong },
+      "tail_simhash" -> { i => graft.core.Fingerprint.simhash64(texts((i % 256).toInt)) },
+      "tail_langid" -> { i => graft.core.LangId.detect(texts((i % 256).toInt)).length.toLong },
+    )
     def work(threads: Int, f: Long => Long): Double = {
       val counter = new AtomicLong(0)
       val t0 = System.nanoTime()
@@ -46,7 +56,7 @@ object KernelBench {
       require(counter.get() > 0)
       nDocs / sec
     }
-    stages.foreach { case (name, f) =>
+    (stages ++ tails).foreach { case (name, f) =>
       System.gc()
       work(8, f) // warm-up
       // best-of-3 per level to shake off GC-debt noise
