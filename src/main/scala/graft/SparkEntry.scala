@@ -589,6 +589,29 @@ object SparkEntry {
         .toDF("media_id", "sample_rate", "channels", "n_samples", "abs_sum", "zero_crossings")
         .sortWithinPartitions(col("media_id"))
     }),
+    "q54_video_frames" -> ((s, _) => {
+      // REAL video-container decode: encode a closed-form gray pattern as a
+      // multi-frame GIF (lossless indexed round-trip, luma(gray g) = g
+      // exactly), decode it back through the production VideoCodec's even
+      // frame sampling, and emit exact per-frame statistics — the oracle
+      // recomputes every value from the pattern formula. This is the
+      // frame-sample leg of the multimodal surface, stub-free.
+      import s.implicits._
+      s.range(0L, 500L, 1L, 8)
+        .repartitionByRange(8, col("id")) // sort keys fixed pre-kernel (see q24)
+        .as[Long]
+        .mapPartitions(_.map { i =>
+          val nFrames = (i % 5).toInt + 2 // 2..6 — all under the sample cap
+          val gif = Multimodal.VideoCodec.patternGif(i, 16, 12, nFrames)
+          val f = Multimodal.VideoCodec.decode(gif)
+            .getOrElse(throw new IllegalStateException(s"GIF $i failed to decode"))
+          (i, f.nFrames.toLong, f.framesSampled.toLong,
+            f.lumaTotal, f.lumaFirst, f.lumaLast, f.temporalDiff)
+        })
+        .toDF("media_id", "n_frames", "frames_sampled",
+          "luma_total", "luma_first", "luma_last", "temporal_diff")
+        .sortWithinPartitions(col("media_id"))
+    }),
     "q34_geometry" -> ((s, dir) => {
       // §2.13 + S3: rebuild each doc with structure (every 8th token
       // boundary becomes a newline, every 5th a 3-space run), emit the grid
@@ -1387,6 +1410,28 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
         |  CAST(sum(c) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q54: the indexed-gray GIF round-trip is lossless and luma(gray g) = g,
+    // so every sampled-frame statistic is recomputed exactly from the
+    // pattern formula (all 2..6 frames are under the sample cap)
+    "q54_video_frames" ->
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id,
+        |    CAST(i % 5 + 2 AS INT) AS nf FROM range(0, 500) t(i)),
+        |fr AS (SELECT media_id, nf, CAST(f AS INT) AS f
+        |  FROM ids, range(0, 6) t(f) WHERE f < nf),
+        |px AS (
+        |  SELECT media_id, nf, f,
+        |    sum((x*17 + y*3 + media_id + 7*f) % 256) AS s
+        |  FROM fr, range(0, 16) tx(x), range(0, 12) ty(y)
+        |  GROUP BY media_id, nf, f),
+        |w AS (SELECT media_id, nf, f, s,
+        |    lag(s) OVER (PARTITION BY media_id ORDER BY f) AS prev FROM px)
+        |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf AS BIGINT) AS frames_sampled,
+        |  CAST(sum(s) AS BIGINT) AS luma_total,
+        |  CAST(max(CASE WHEN f = 0 THEN s END) AS BIGINT) AS luma_first,
+        |  CAST(max(CASE WHEN f = nf - 1 THEN s END) AS BIGINT) AS luma_last,
+        |  CAST(coalesce(sum(abs(s - prev)), 0) AS BIGINT) AS temporal_diff
+        |FROM w GROUP BY media_id, nf ORDER BY media_id""".stripMargin,
     "q34_geometry" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
         |d AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok,

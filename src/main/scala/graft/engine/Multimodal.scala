@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * embedding via deterministic nearest-cell pooling — PNG is lossless, so
   * every feature is integer-exact and oracle-checkable (q51). AUDIO
   * payloads in RIFF/PCM16 WAV decode through [[WavCodec]] (pure RIFF
-  * parse, no codec dependency). VIDEO remains [[StubCodec]]-backed: no
-  * video codec exists in this container, so it produces deterministic fake
-  * features from the bytes — the one remaining stub, clearly labeled.
+  * parse, no codec dependency). VIDEO payloads in multi-frame GIF decode
+  * through [[VideoCodec]] (ImageIO sequence reader, even frame sampling,
+  * temporal-difference energy — q54); [[StubCodec]] remains only as the
+  * fallback for payloads none of the real codecs can read.
   */
 object Multimodal {
 
@@ -224,6 +225,112 @@ object Multimodal {
     }
   }
 
+  /** REAL video-container decode: multi-frame GIF through the JDK's
+    * ImageIO reader. GIF is the one multi-frame format the JVM can both
+    * write and read without external codecs; with a 256-level gray indexed
+    * palette the round-trip is lossless and luma(gray g) = g exactly
+    * ((299+587+114)·g/1000), so every frame statistic is integer-exact and
+    * oracle-checkable (q54). Frames are sampled evenly up to
+    * [[VideoCodec.MaxSampledFrames]] — the frame-sample path of a
+    * video pipeline, with temporal-difference energy across the samples.
+    */
+  object VideoCodec {
+    final case class VideoFeatures(
+        nFrames: Int, framesSampled: Int,
+        lumaTotal: Long, // Σ over sampled frames of the frame's luma sum
+        lumaFirst: Long, lumaLast: Long, // first/last SAMPLED frame
+        temporalDiff: Long) // Σ |frameSum(j+1) - frameSum(j)| over samples
+
+    val MaxSampledFrames = 8
+
+    @inline private def luma(rgb: Int): Int = {
+      val r = (rgb >>> 16) & 0xff; val g = (rgb >>> 8) & 0xff; val b = rgb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    /** Decode + frame-sample; None when the payload is not a readable GIF
+      * (then callers fall back to [[StubCodec]]).
+      */
+    def decode(payload: Array[Byte]): Option[VideoFeatures] = {
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => return None }
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          if (!"gif".equalsIgnoreCase(reader.getFormatName)) return None
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val k = math.min(n, MaxSampledFrames)
+          var first = -1L; var prev = -1L; var last = 0L
+          var total = 0L; var tdiff = 0L
+          var j = 0
+          while (j < k) {
+            // even temporal sampling over [0, n-1]
+            val fi = if (k == 1) 0 else j * (n - 1) / (k - 1)
+            val img = reader.read(fi)
+            val w = img.getWidth; val h = img.getHeight
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += luma(img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            if (first < 0) first = s
+            if (prev >= 0) tdiff += math.abs(s - prev)
+            prev = s; last = s; total += s
+            j += 1
+          }
+          Some(VideoFeatures(n, k, total, first, last, tdiff))
+        } catch { case _: java.io.IOException => None }
+        finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** Encode a deterministic gray-pattern animated GIF (lossless indexed
+      * round-trip): frame f pixel (x,y) has gray (x*17 + y*3 + seed + 7f)
+      * mod 256.
+      */
+    def patternGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val gray = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((x * 17 + y * 3 + seed + 7L * f) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+  }
+
   /** Batch decode: mapPartitions so a real codec could amortize per-batch
     * model/codec initialization (the Pandas-UDF batching pattern, JVM-side).
     */
@@ -247,7 +354,12 @@ object Multimodal {
                   frames_sampled = math.max(1, wf.nSamples / math.max(1, wf.sampleRate / 10)))
               case None => StubCodec.decode(row)
             }
-          case _ => StubCodec.decode(row) // video: no codec in this container
+          case _ =>
+            VideoCodec.decode(row.payload) match {
+              case Some(vf) => // REAL GIF frame-sample
+                StubCodec.decode(row).copy(frames_sampled = vf.framesSampled)
+              case None => StubCodec.decode(row) // not a readable GIF payload
+            }
         }
       }
     }

@@ -96,6 +96,48 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(got(0).embedding.toSeq == expected.toSeq, "image row carries the REAL grid embedding")
     assert(got(0).frames_sampled == 1)
     assert(got(1).frames_sampled == 1, "800 samples @8kHz = 0.1s -> 1 analysis window")
-    assert(got(2).frames_sampled == 5, "video stays on the stub plan (1 fps)")
+    assert(got(2).frames_sampled == 5, "non-GIF video payload falls back to the stub plan (1 fps)")
+  }
+
+  test("GIF round-trip: sampled frame statistics equal the pattern's closed form") {
+    val (seed, w, h, n) = (11L, 16, 12, 4)
+    val gif = Multimodal.VideoCodec.patternGif(seed, w, h, n)
+    val f = Multimodal.VideoCodec.decode(gif).get
+    assert(f.nFrames == n && f.framesSampled == n)
+    // gray pixels: luma(g) = g exactly, so frame sums have a closed form
+    def frameSum(fr: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield (x * 17 + y * 3 + seed + 7L * fr) % 256).sum
+    val sums = (0 until n).map(frameSum)
+    assert(f.lumaTotal == sums.sum)
+    assert(f.lumaFirst == sums.head && f.lumaLast == sums.last)
+    assert(f.temporalDiff == sums.sliding(2).map(p => math.abs(p(1) - p(0))).sum)
+  }
+
+  test("GIF frame sampling is even and capped at MaxSampledFrames") {
+    val gif = Multimodal.VideoCodec.patternGif(3L, 8, 8, 15)
+    val f = Multimodal.VideoCodec.decode(gif).get
+    assert(f.nFrames == 15 && f.framesSampled == Multimodal.VideoCodec.MaxSampledFrames)
+    // sampled indices j*(n-1)/(k-1) = j*2: frames 0,2,4,...,14
+    def frameSum(fr: Int): Long =
+      (for (y <- 0 until 8; x <- 0 until 8) yield (x * 17 + y * 3 + 3L + 7L * fr) % 256).sum
+    val sampled = (0 until 8).map(j => frameSum(j * 2))
+    assert(f.lumaTotal == sampled.sum)
+    assert(f.lumaFirst == sampled.head && f.lumaLast == sampled.last)
+  }
+
+  test("decodeFeatures routes real GIF payloads through VideoCodec") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val gif = Multimodal.VideoCodec.patternGif(5L, 8, 8, 6)
+    val rows = Seq(Multimodal.MediaRow(1, "video", gif, 8, 8, 6000))
+    val got = Multimodal.decodeFeatures(spark.createDataset(rows)).collect()
+    assert(got(0).frames_sampled == 6, "real GIF: all 6 frames sampled (under the cap)")
+  }
+
+  test("GIF rejects non-video bytes") {
+    assert(Multimodal.VideoCodec.decode(Array.tabulate(256)(_.toByte)).isEmpty)
+    // a PNG is readable by ImageIO but is not a GIF container
+    assert(Multimodal.VideoCodec.decode(Multimodal.ImageCodec.patternPng(1, 8, 8)).isEmpty)
   }
 }
