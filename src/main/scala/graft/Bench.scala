@@ -55,15 +55,30 @@ object Bench {
       System.err.println(f"[bench] warm sweep over $warmDir: ${(System.nanoTime() - t0) / 1e9}%.1f s (unmeasured)")
     }
 
+    // Per query: min of `trials` measured executions (default 2). The host
+    // throttles sporadically under sustained all-core load (multi-second
+    // stalls with all workers RUNNABLE, no GC, no locks — observed 2.4 s vs
+    // 34 s for the identical warm q24), so a single execution samples the
+    // throttle lottery; the min is the steady-state engine cost. q49 stays
+    // at 1 trial: its composed train→extract memoizes per JVM, so a second
+    // execution would time the cache hit, not the job.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
     val results = sweep.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      val k = if (name == "q49_fixture_golden") 1 else trials
+      var best = Double.MaxValue
+      var ok = true
+      var t = 0
+      while (t < k && ok) {
+        val t0 = System.nanoTime()
+        ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        t += 1
       }
       // failed queries are reported as negative seconds — visible, never
       // mistaken for a fast success
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      name -> (if (ok) best else -best)
     }
 
     // headline: extraction docs/sec over a materialized page table (the
@@ -111,7 +126,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""failed":${failed.mkString("[", ",", "]")},"n_failed":${failed.size},""" +
         s""""extract_docs":$extracted,"extract_sec":$extractSec,"extract_docs_per_sec":$docsPerSec,""" +
-        s""""extract_docs_per_sec_per_core":$docsPerSecPerCore,"cpus":$cpus}""")
+        s""""extract_docs_per_sec_per_core":$docsPerSecPerCore,"cpus":$cpus,""" +
+        s""""query_trials":$trials}""")
     spark2.stop()
   }
 }
