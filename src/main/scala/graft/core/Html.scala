@@ -156,11 +156,25 @@ object Html {
           val close = html.indexOf('>', i)
           if (close < 0) { i = n }
           else {
-            val inner = html.substring(i + 1, close)
-            val isEnd = inner.startsWith("/")
-            val raw = if (isEnd) inner.substring(1) else inner
-            val nameEnd0 = raw.indexWhere(ch => Character.isWhitespace(ch) || ch == '/' || ch == '>')
-            val name = (if (nameEnd0 < 0) raw else raw.substring(0, nameEnd0)).toLowerCase
+            // tag name without materializing the attribute body: only isEnd
+            // and the (ASCII-folded) name are ever used — one allocation per
+            // tag instead of three
+            var p = i + 1
+            val isEnd = p < close && html.charAt(p) == '/'
+            if (isEnd) p += 1
+            val nameStart = p
+            while (p < close && {
+              val ch = html.charAt(p)
+              !Character.isWhitespace(ch) && ch != '/'
+            }) p += 1
+            val nb = new java.lang.StringBuilder(p - nameStart)
+            var q = nameStart
+            while (q < p) {
+              val ch = html.charAt(q)
+              nb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+              q += 1
+            }
+            val name = nb.toString
             if (rawTextTags.contains(name) && !isEnd) {
               // consume raw text until matching close tag
               val endTag = "</" + name
