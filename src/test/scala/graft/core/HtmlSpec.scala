@@ -79,4 +79,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("malformed tags do not derail the tokenizer") {
+    // empty tag name, bare '/', unclosed tag at EOF, uppercase names,
+    // attribute bodies with '/' (the classifier is not under test — assert
+    // at the block-tokenizer level)
+    val html = "<P CLASS='x'>one two three</P><>junk</><DIV data-a=b/>four five" +
+      "<p>six seven</p><broken"
+    val text = Html.blocks(html).map(_.text).mkString(" | ")
+    assert(text.contains("one two three"))
+    assert(text.contains("four five"))
+    assert(text.contains("six seven"))
+    assert(!text.contains("<"))
+  }
+
+  test("uppercase and self-closing tag names fold like lowercase") {
+    val a = Html.blocks("<p>alpha beta</p><BR/><p>gamma delta</p>").map(_.text)
+    val b = Html.blocks("<P>alpha beta</P><br /><P>gamma delta</P>").map(_.text)
+    assert(a == b, "ASCII-folded tag names must behave identically to lowercase")
+    assert(a.contains("alpha beta") && a.contains("gamma delta"))
+  }
 }
