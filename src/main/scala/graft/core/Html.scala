@@ -176,10 +176,13 @@ object Html {
             }
             val name = nb.toString
             if (rawTextTags.contains(name) && !isEnd) {
-              // consume raw text until matching close tag
+              // consume raw text until matching close tag — case-insensitive:
+              // legacy pages close with </SCRIPT>/</STYLE>, and a
+              // case-sensitive search would silently drop the whole rest of
+              // the document
               val endTag = "</" + name
-              var e = html.indexOf(endTag, close + 1)
-              var after = if (e < 0) n else html.indexOf('>', e)
+              val e = indexOfIgnoreCase(html, endTag, close + 1)
+              val after = if (e < 0) n else html.indexOf('>', e)
               if (e < 0 || after < 0) { i = n } else { i = after + 1 }
             } else {
               if (skipSubtreeTags.contains(name)) {

@@ -77,6 +77,15 @@ object Multimodal {
     * the decoded raster, so a lossless payload (PNG/BMP) yields
     * oracle-checkable values on any JVM.
     */
+  /** The shared pixel-luma kernel: (299r + 587g + 114b) / 1000 — integer
+    * exact, and the identity luma(gray g) = g that the lossless image/video
+    * oracles (q51/q54) rely on. One definition for both codecs.
+    */
+  @inline private def luma(rgb: Int): Int = {
+    val r = (rgb >>> 16) & 0xff; val g = (rgb >>> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
   object ImageCodec {
     final case class ImageFeatures(
         width: Int, height: Int,
@@ -84,18 +93,16 @@ object Multimodal {
         edgeSum: Long, // Σ |luma(x+1,y) - luma(x,y)| — horizontal edge energy
         gridEmbedding: Array[Float]) // 4×4 mean-luma grid, row-major, /255
 
-    @inline private def luma(rgb: Int): Int = {
-      val r = (rgb >>> 16) & 0xff; val g = (rgb >>> 8) & 0xff; val b = rgb & 0xff
-      (299 * r + 587 * g + 114 * b) / 1000
-    }
-
     /** Decode + feature-extract; None when ImageIO has no reader for the
       * payload (then callers fall back to [[StubCodec]]).
       */
     def decode(payload: Array[Byte]): Option[ImageFeatures] = {
       val img =
+        // NonFatal, not just IOException: ImageIO readers throw
+        // RuntimeExceptions on sniffable-but-corrupt payloads, and a
+        // malformed crawl image must degrade to the stub, not kill the task
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       val lumas = new Array[Int](w * h)
@@ -179,7 +186,11 @@ object Multimodal {
       while (i + 8 <= payload.length) {
         val id = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val len = le32(payload, i + 4)
+        // a lying header (negative or truncated chunk length) must reject
+        // the payload, not loop forever or read out of bounds
+        if (len < 0) return None
         if (id == "fmt ") {
+          if (i + 24 > payload.length) return None
           fmtChannels = le16(payload, i + 10)
           fmtRate = le32(payload, i + 12)
           fmtBits = le16(payload, i + 22)
@@ -239,22 +250,22 @@ object Multimodal {
         nFrames: Int, framesSampled: Int,
         lumaTotal: Long, // Σ over sampled frames of the frame's luma sum
         lumaFirst: Long, lumaLast: Long, // first/last SAMPLED frame
-        temporalDiff: Long) // Σ |frameSum(j+1) - frameSum(j)| over samples
+        temporalDiff: Long, // Σ |frameSum(j+1) - frameSum(j)| over samples
+        frameMeanLumas: Array[Float]) // per-sampled-frame mean luma / 255
 
     val MaxSampledFrames = 8
 
-    @inline private def luma(rgb: Int): Int = {
-      val r = (rgb >>> 16) & 0xff; val g = (rgb >>> 8) & 0xff; val b = rgb & 0xff
-      (299 * r + 587 * g + 114 * b) / 1000
-    }
-
     /** Decode + frame-sample; None when the payload is not a readable GIF
-      * (then callers fall back to [[StubCodec]]).
+      * (then callers fall back to [[StubCodec]]). Catches all non-fatal
+      * decode failures, not just IOException: the JDK GIF reader throws
+      * RuntimeExceptions (index/negative-size errors) on payloads that pass
+      * the format sniff but carry corrupt LZW/descriptor data, and a
+      * malformed crawl payload must degrade to the stub, not kill the task.
       */
     def decode(payload: Array[Byte]): Option[VideoFeatures] = {
       val iis =
         try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => return None }
+        catch { case scala.util.control.NonFatal(_) => return None }
       if (iis == null) return None
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -268,6 +279,7 @@ object Multimodal {
           val k = math.min(n, MaxSampledFrames)
           var first = -1L; var prev = -1L; var last = 0L
           var total = 0L; var tdiff = 0L
+          val means = new Array[Float](k)
           var j = 0
           while (j < k) {
             // even temporal sampling over [0, n-1]
@@ -284,10 +296,11 @@ object Multimodal {
             if (first < 0) first = s
             if (prev >= 0) tdiff += math.abs(s - prev)
             prev = s; last = s; total += s
+            if (w > 0 && h > 0) means(j) = (s.toDouble / (w.toLong * h) / 255.0).toFloat
             j += 1
           }
-          Some(VideoFeatures(n, k, total, first, last, tdiff))
-        } catch { case _: java.io.IOException => None }
+          Some(VideoFeatures(n, k, total, first, last, tdiff, means))
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally reader.dispose()
       } finally iis.close()
     }
@@ -356,8 +369,13 @@ object Multimodal {
             }
           case _ =>
             VideoCodec.decode(row.payload) match {
-              case Some(vf) => // REAL GIF frame-sample
-                StubCodec.decode(row).copy(frames_sampled = vf.framesSampled)
+              case Some(vf) => // REAL GIF frame-sample: the embedding is the
+                // per-sampled-frame mean-luma trajectory, zero-padded
+                val emb = new Array[Float](StubCodec.EmbeddingDim)
+                System.arraycopy(vf.frameMeanLumas, 0, emb, 0,
+                  math.min(vf.frameMeanLumas.length, emb.length))
+                StubCodec.decode(row).copy(
+                  embedding = emb, frames_sampled = vf.framesSampled)
               case None => StubCodec.decode(row) // not a readable GIF payload
             }
         }

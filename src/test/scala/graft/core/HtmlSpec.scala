@@ -99,4 +99,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(a == b, "ASCII-folded tag names must behave identically to lowercase")
     assert(a.contains("alpha beta") && a.contains("gamma delta"))
   }
+
+  test("uppercase raw-text close tags do not swallow the rest of the document") {
+    // legacy pages close with </SCRIPT>/</STYLE>; a case-sensitive search
+    // for the close tag dropped everything after the script block
+    val html = "<SCRIPT>var x = 1;</SCRIPT><p>page content survives</p>" +
+      "<STYLE>.a{color:red}</STYLE><p>more content here</p>"
+    val text = Html.blocks(html).map(_.text).mkString(" | ")
+    assert(text.contains("page content survives"))
+    assert(text.contains("more content here"))
+    assert(!text.contains("var x"))
+    assert(!text.contains("color:red"))
+  }
 }

@@ -133,11 +133,45 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val rows = Seq(Multimodal.MediaRow(1, "video", gif, 8, 8, 6000))
     val got = Multimodal.decodeFeatures(spark.createDataset(rows)).collect()
     assert(got(0).frames_sampled == 6, "real GIF: all 6 frames sampled (under the cap)")
+    // the embedding is the REAL mean-luma trajectory, zero-padded to 16
+    val vf = Multimodal.VideoCodec.decode(gif).get
+    assert(got(0).embedding.take(6).toSeq == vf.frameMeanLumas.toSeq)
+    assert(got(0).embedding.drop(6).forall(_ == 0f))
+  }
+
+  test("frame mean lumas are the per-frame mean of the closed-form grays") {
+    val vf = Multimodal.VideoCodec.decode(Multimodal.VideoCodec.patternGif(9L, 8, 8, 3)).get
+    def mean(fr: Int): Float =
+      ((for (y <- 0 until 8; x <- 0 until 8) yield (x * 17 + y * 3 + 9L + 7L * fr) % 256)
+        .sum.toDouble / 64.0 / 255.0).toFloat
+    assert(vf.frameMeanLumas.toSeq == (0 until 3).map(mean))
   }
 
   test("GIF rejects non-video bytes") {
     assert(Multimodal.VideoCodec.decode(Array.tabulate(256)(_.toByte)).isEmpty)
     // a PNG is readable by ImageIO but is not a GIF container
     assert(Multimodal.VideoCodec.decode(Multimodal.ImageCodec.patternPng(1, 8, 8)).isEmpty)
+  }
+
+  test("sniffable-but-corrupt payloads degrade to None, not a task-killing throw") {
+    val gif = Multimodal.VideoCodec.patternGif(2L, 8, 8, 3)
+    // keep the GIF header so the format sniff passes, corrupt the body
+    for (cut <- Seq(16, 24, 40)) {
+      val broken = gif.take(cut) ++ Array.fill(8)(0xFF.toByte)
+      val r = try Multimodal.VideoCodec.decode(broken) catch {
+        case e: Throwable => fail(s"decode threw ${e.getClass.getSimpleName} at cut=$cut")
+      }
+      assert(r.isEmpty || r.get.nFrames >= 1) // None, or a sane partial parse
+    }
+    // WAV with a lying (negative / truncated) chunk length must reject too
+    val wav = Multimodal.WavCodec.patternWav(1L, 100)
+    val lying = wav.clone()
+    // fmt chunk length field at offset 16 → 0xFFFFFFFF (negative): without
+    // the len < 0 guard the chunk walk would loop backwards forever
+    lying(16) = 0xFF.toByte; lying(17) = 0xFF.toByte
+    lying(18) = 0xFF.toByte; lying(19) = 0xFF.toByte
+    assert(Multimodal.WavCodec.decode(lying).isEmpty)
+    val truncatedFmt = wav.take(30) // fmt chunk cut short mid-header
+    assert(Multimodal.WavCodec.decode(truncatedFmt).isEmpty)
   }
 }
