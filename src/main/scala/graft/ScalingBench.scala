@@ -129,11 +129,15 @@ object ScalingBench {
     def pairOf(l: String): (Int, Int) =
       pairRe.findFirstMatchIn(l).map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
     val bestPerPair = (if (credible.nonEmpty) credible else history)
+      .filter(pairOf(_) != ((0, 0))) // unparsable lines never render as 0→0
       .groupBy(pairOf).toSeq.sortBy(_._1)
       .map { case ((lo, hi), runs) =>
         val r = runs.maxBy(effOf)
         f"| $lo→$hi | ${effOf(r)}%.3f | `$r` |"
       }.mkString("\n")
+    val pairCaption =
+      if (credible.nonEmpty) "anomalous ratios > 1.05 excluded"
+      else "NO credible sub-1.05 runs recorded — showing anomalous history"
 
     val md =
       f"""# BENCH — extraction throughput & scaling
@@ -172,13 +176,13 @@ object ScalingBench {
          |$best
          |```
          |
-         |Best credible window per pair size (all recorded runs, anomalous
-         |ratios > 1.05 excluded):
+         |Best credible window per pair size (all recorded runs, @@CAPTION@@):
          |
          || pair | efficiency | run |
          || --- | --- | --- |
          |@@PAIRS@@
          |""".stripMargin.replace("@@PAIRS@@", bestPerPair)
+           .replace("@@CAPTION@@", pairCaption)
     // BENCH.md is hand-curated per round (side-by-side driver vs builder
     // windows, per-query analysis); the machine snapshot goes to its own file
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALING.md"), md)

@@ -46,7 +46,13 @@ object ExtractCli {
 
   def main(args: Array[String]): Unit = {
     args match {
-      case Array("--bench", n) if n.forall(_.isDigit) => bench(n.toInt); return
+      case Array("--bench") => bench(30000); return
+      case Array("--bench", n) =>
+        // explicit parse error beats silently falling through to the
+        // default extraction mode or overflowing Int
+        bench(n.toIntOption.filter(_ > 0).getOrElse(
+          sys.error(s"--bench expects a positive Int, got '$n'")))
+        return
       case _ => ()
     }
     val htmls: Seq[(String, String)] = args match {
