@@ -238,7 +238,12 @@ object SparkEntry {
         .select(col("doc_id"),
           bit_count(base.bitwiseXOR(doubled)).cast("long").as("ham_doubled"),
           bit_count(base.bitwiseXOR(sorted)).cast("long").as("ham_sorted"),
-          (bit_count(base.bitwiseXOR(oneEdit)) <= lit(20)).as("locality_ok"))
+          // the ≤20 bound only holds when many tokens anchor the vote sums:
+          // a one-token edit moves each bit's vote by at most ±2, so short
+          // docs (where every |vote| ≤ 2) can legitimately flip most bits —
+          // witness only docs with enough tokens for the bound to be sound
+          (size(split(col("text"), " ")) < lit(64) ||
+            bit_count(base.bitwiseXOR(oneEdit)) <= lit(20)).as("locality_ok"))
         .orderBy(col("doc_id"))
     }),
     "q19_ngram_jaccard" -> ((s, dir) => {

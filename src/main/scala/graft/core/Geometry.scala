@@ -55,8 +55,13 @@ object Geometry {
       val ord =
         if (sorted) Array.tabulate(n)(identity)
         else {
-          require(n < (1 << 24) && pages.forall(_ < (1 << 19)) && lines.forall(_ < (1 << 20)),
-            "CharGrid sort-key packing exceeded (page < 2^19, line < 2^20, n < 2^24)")
+          // non-negativity matters as much as the width bounds: a negative
+          // page/line would sign-extend across the packed key fields and
+          // silently corrupt the sort order rather than fail
+          require(n < (1 << 24) &&
+            pages.forall(p => p >= 0 && p < (1 << 19)) &&
+            lines.forall(l => l >= 0 && l < (1 << 20)),
+            "CharGrid sort-key packing exceeded (0 <= page < 2^19, 0 <= line < 2^20, n < 2^24)")
           val keys = new Array[Long](n)
           var j = 0
           while (j < n) {

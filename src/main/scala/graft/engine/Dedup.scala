@@ -21,7 +21,15 @@ object Dedup {
   /** Named accumulator counting LSH buckets that exceeded their cap (and so
     * were paired keeper-only). One is registered per dedup call and captured
     * in the bucket-pairing closure; visible in the Spark UI under
-    * `graft.dedup.cappedBuckets` and readable after the job's action.
+    * `graft.dedup.cappedBuckets`.
+    *
+    * Caveats of Spark accumulator semantics: the count is per-EXECUTION,
+    * not per-logical-job — running two actions on a lazy result (or Spark
+    * recomputing after executor loss / a speculative retry) re-executes the
+    * pairing stage and inflates the count; and several dedup calls in one
+    * session each register a separate accumulator under the same display
+    * name. Treat it as an observability signal (zero vs non-zero, order of
+    * magnitude), not an exact tally.
     */
   private def newCappedCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator =
     spark.sparkContext.longAccumulator("graft.dedup.cappedBuckets")

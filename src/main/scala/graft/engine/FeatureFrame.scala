@@ -214,20 +214,29 @@ object FeatureFrame {
     // line instead of the O(n²) full scan with per-pair allocations that
     // made book-length single-line documents quadratic. Non-monotone lines
     // keep the exact full scan.
+    // The binary searches below assume start AND end offsets non-decreasing
+    // over ALL of the line's candidates (null-box ones participate in the
+    // search even though the walks skip them), and x order non-decreasing
+    // over the boxed ones. Check exactly that; default true so a target on
+    // a candidate-less line falls through to empty searches (Pad neighbors)
+    // instead of a NoSuchElementException.
     val lineMonotone: Map[Int, Boolean] = byLine.map { case (ln, cis) =>
       var mono = true
+      var prevStart = Int.MinValue
       var prevEnd = Int.MinValue
       var prevX0 = Double.NegativeInfinity
       var prevX1 = Double.NegativeInfinity
       cis.foreach { ci =>
         val c = candidates(ci); val cb = candBox(ci)
+        if (c.start < prevStart || c.end < prevEnd) mono = false
+        prevStart = c.start; prevEnd = c.end
         if (cb != null) {
-          if (c.end < prevEnd || cb.x0 < prevX0 || cb.x1 < prevX1) mono = false
-          prevEnd = c.end; prevX0 = cb.x0; prevX1 = cb.x1
+          if (cb.x0 < prevX0 || cb.x1 < prevX1) mono = false
+          prevX0 = cb.x0; prevX1 = cb.x1
         }
       }
       ln -> mono
-    }
+    }.withDefaultValue(true)
 
     val out = Vector.newBuilder[Row]
     targets.foreach { span =>

@@ -62,8 +62,6 @@ object Ingest {
       val boxChar = p.chars.charAt(i)
       if (off < 0 || off >= text.length)
         return Left(s"offset $off outside document text of length ${text.length}")
-      if (i > 0 && p.offsets(i - 1) >= off)
-        return Left(s"offsets not strictly ascending at $off")
       val docChar = text.charAt(off)
       if (boxChar != ' ' && boxChar != '\f' && boxChar != '\n' && boxChar != docChar)
         return Left(s"""Bbox provides character "$boxChar" document text refers to "$docChar" at offset $off""")
@@ -76,11 +74,49 @@ object Ingest {
       if (bx1 > pageWidth) return Left(s"bbox at offset $off exceeds page width")
       if (by1 > pageHeight) return Left(s"bbox at offset $off exceeds page height")
       if (p.pageNumbers(i) < 1) return Left(s"bbox at offset $off has non-positive page_number")
+      if (p.lineNumbers(i) < 0) return Left(s"bbox at offset $off has negative line_number")
       pages0(i) = p.pageNumbers(i) - 1
       i += 1
     }
-    Right(new Geometry.CharGrid(p.offsets, p.chars, pages0, p.lineNumbers,
-      p.x0, p.x1, p.y0, p.y1))
+    // The reference keys boxes by character index in a dict (data.py:2100-
+    // 2117): arbitrary serialization order is accepted and a duplicate
+    // offset resolves last-write-wins. Mirror that — the grid's offset
+    // order is an internal invariant, not an ingest contract.
+    var ascending = true
+    i = 1
+    while (ascending && i < n) { if (p.offsets(i - 1) >= p.offsets(i)) ascending = false; i += 1 }
+    if (ascending)
+      Right(new Geometry.CharGrid(p.offsets, p.chars, pages0, p.lineNumbers,
+        p.x0, p.x1, p.y0, p.y1))
+    else {
+      val idx = Array.tabulate(n)(identity)
+        .sortBy(j => (p.offsets(j), j)) // stable: later entry wins on ties
+      val keep = new Array[Boolean](n)
+      var m = 0
+      i = 0
+      while (i < n) {
+        val last = i == n - 1 || p.offsets(idx(i + 1)) != p.offsets(idx(i))
+        if (last) { keep(i) = true; m += 1 }
+        i += 1
+      }
+      val offs = new Array[Int](m); val sb = new java.lang.StringBuilder(m)
+      val pg = new Array[Int](m); val ln = new Array[Int](m)
+      val ax0 = new Array[Double](m); val ax1 = new Array[Double](m)
+      val ay0 = new Array[Double](m); val ay1 = new Array[Double](m)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (keep(i)) {
+          val j = idx(i)
+          offs(k) = p.offsets(j); sb.append(p.chars.charAt(j))
+          pg(k) = pages0(j); ln(k) = p.lineNumbers(j)
+          ax0(k) = p.x0(j); ax1(k) = p.x1(j); ay0(k) = p.y0(j); ay1(k) = p.y1(j)
+          k += 1
+        }
+        i += 1
+      }
+      Right(new Geometry.CharGrid(offs, sb.toString, pg, ln, ax0, ax1, ay0, ay1))
+    }
   }
 
   /** Payload constructor from char boxes (round-trip helper for tests and

@@ -144,7 +144,15 @@ object TrainScorerJob {
     val spark = ds.sparkSession
     import spark.implicits._
     val (mean, scale) = stats(ds.map(ex => Example(0.0, ex.features)), dim)
-    val nW = ds.map(ex => classWeights(ex.y)).reduce(_ + _) // weighted n
+    // weighted n via per-partition partials collected in PARTITION order —
+    // Dataset.reduce merges in task-completion order, and FP addition is
+    // non-associative, so a reduce here would make nW (and through it every
+    // gradient step) drift across runs, breaking the pinned q49 tuple set
+    val nW = ds.mapPartitions { it =>
+      var s = 0.0
+      it.foreach(ex => s += classWeights(ex.y))
+      Iterator.single(s)
+    }.collect().sum
     require(nW > 0, "fitSoftmax: empty training set")
     val bcStats = spark.sparkContext.broadcast((mean, scale))
     val bcCW = spark.sparkContext.broadcast(classWeights)

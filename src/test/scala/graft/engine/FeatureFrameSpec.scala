@@ -119,4 +119,36 @@ class FeatureFrameSpec extends AnyFunSuite {
     assert(am == bm)
     assert(a.nonEmpty && a.forall(_.features.length == 270))
   }
+
+  test("a target on a line with no candidates gets Pad neighbors, not a crash") {
+    // targets are not required to be a subset of candidates: probe a span on
+    // line 1 while candidates exist only on line 0 — the same-line search
+    // must fall through to empty (Pad) neighbors
+    val line0Only = tokens.take(3) // ab cd ef (line 0)
+    val probe = IndexedSeq(Span(9, 11)) // xy (line 1)
+    val rows = FeatureFrame.assembleDoc(text, chars, line0Only, probe)
+    assert(rows.length == 1)
+    val names = FeatureFrame.featureNames(2, 2)
+    def v(n: String) = rows(0).features(idx(n, names))
+    assert(v("l_dist0") == FeatureFrame.PadDistance && v("r_dist0") == FeatureFrame.PadDistance)
+  }
+
+  test("a null-box candidate between boxed ones does not fake monotonicity") {
+    // candidate offsets out of order relative to a null-box member would
+    // break the binary search's assumptions: the precheck must see ALL
+    // candidates' offsets, so this line takes the exact full-scan path and
+    // the neighbor set matches the all-boxed reference ordering
+    val text2 = "ab cd ef"
+    val chars2 = Geometry.syntheticCharBoxes(text2)
+    val toks = IndexedSeq(Span(0, 2), Span(3, 5), Span(6, 8))
+    val full = FeatureFrame.assembleDoc(text2, chars2, toks, toks)
+    // same candidates presented in a non-monotone offset order
+    val shuffled = IndexedSeq(Span(3, 5), Span(0, 2), Span(6, 8))
+    val out = FeatureFrame.assembleDoc(text2, chars2, shuffled, toks)
+    val names = FeatureFrame.featureNames(2, 2)
+    def vf(rs: Vector[FeatureFrame.Row], i: Int, n: String) = rs(i).features(idx(n, names))
+    // target "cd": left neighbor ab (gap 6), right neighbor ef (gap 6) in both
+    assert(vf(out, 1, "l_dist0") == vf(full, 1, "l_dist0"))
+    assert(vf(out, 1, "r_dist0") == vf(full, 1, "r_dist0"))
+  }
 }

@@ -50,4 +50,32 @@ class IngestSpec extends AnyFunSuite {
     assert(Ingest.validatedCharBoxes(text, p.copy(offsets = p.offsets.updated(0, 999))).isLeft)
     assert(Ingest.validatedCharBoxes(text, p.copy(offsets = p.offsets.drop(1))).isLeft)
   }
+
+  test("unsorted payloads are accepted and sorted (dict semantics, data.py:2100-2117)") {
+    // the reference keys boxes by character index in a dict — serialization
+    // order is not a contract. Reverse the payload: same grid must result.
+    val p = Ingest.payloadOf(chars)
+    val rev = Ingest.CharBoxPayload(
+      p.offsets.reverse, p.chars.reverse, p.pageNumbers.reverse, p.lineNumbers.reverse,
+      p.x0.reverse, p.x1.reverse, p.y0.reverse, p.y1.reverse)
+    assert(Ingest.validatedCharBoxes(text, rev) == Right(chars))
+  }
+
+  test("duplicate offsets resolve last-write-wins (dict semantics)") {
+    val p = Ingest.payloadOf(chars)
+    // append a second box for offset 0 with a different x — the appended
+    // (later) entry must win, like dict insertion order in the reference
+    val dup = Ingest.CharBoxPayload(
+      p.offsets :+ p.offsets(0), p.chars + p.chars.charAt(0),
+      p.pageNumbers :+ p.pageNumbers(0), p.lineNumbers :+ p.lineNumbers(0),
+      p.x0 :+ 100.0, p.x1 :+ 106.0, p.y0 :+ p.y0(0), p.y1 :+ p.y1(0))
+    val got = Ingest.validatedGrid(text, dup).toOption.get
+    assert(got.length == chars.length, "duplicate collapsed")
+    assert(got.x0(0) == 100.0 && got.x1(0) == 106.0, "later entry wins")
+  }
+
+  test("negative line numbers are rejected at ingestion") {
+    val p = Ingest.payloadOf(chars)
+    assert(Ingest.validatedCharBoxes(text, p.copy(lineNumbers = p.lineNumbers.updated(0, -1))).isLeft)
+  }
 }
