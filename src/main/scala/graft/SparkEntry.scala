@@ -617,6 +617,42 @@ object SparkEntry {
           "luma_total", "luma_first", "luma_last", "temporal_diff")
         .sortWithinPartitions(col("media_id"))
     }),
+    "q55_url_canon" -> ((s, dir) => {
+      // URL canonicalization — the first stage of web-scale url-keyed
+      // dedup: build a messy-but-deterministic URL per doc (case variants,
+      // default/explicit ports, tracking params, unordered query, fragment)
+      // and canonicalize it through the production UrlOps parser. The
+      // oracle reconstructs BOTH the messy url and the expected canonical
+      // closed form from doc_id, so any parser regression breaks the hash.
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"))
+        .repartitionByRange(8, col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { i =>
+          val scheme = if (i % 2 == 0) "HTTPS" else "http"
+          val www = if (i % 4 == 0) "WWW." else ""
+          val host = s"${www}Site${i % 7}.Example.COM"
+          val port = (i % 3) match {
+            case 0 => ""
+            case 1 => if (i % 2 == 0) ":443" else ":80" // scheme default → strip
+            case _ => ":8080" // explicit non-default → keep
+          }
+          val path = if (i % 11 == 0) "" else s"/Dir${i % 5}/p"
+          val query = (i % 4) match {
+            case 0 => ""
+            case 1 => "?utm_source=feed&b=2&a=1"
+            case 2 => "?gclid=x"
+            case _ => "?z=9&a=1"
+          }
+          val frag = if (i % 2 == 1) "#frag" else ""
+          val messy = s"$scheme://$host$port$path$query$frag"
+          (i, messy, graft.core.UrlOps.canonicalize(messy),
+            graft.core.UrlOps.host(messy), graft.core.UrlOps.dedupHost(messy))
+        })
+        .toDF("doc_id", "messy_url", "canon_url", "canon_host", "dedup_host")
+        .sortWithinPartitions(col("doc_id"))
+    }),
     "q34_geometry" -> ((s, dir) => {
       // §2.13 + S3: rebuild each doc with structure (every 8th token
       // boundary becomes a newline, every 5th a 3-space run), emit the grid
@@ -1415,6 +1451,37 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
         |  CAST(sum(c) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q55: both the messy url and its canonical form have closed forms in
+    // doc_id, so the oracle validates the UrlOps parser end-to-end without
+    // reimplementing it — it just states what the canonical MUST be
+    "q55_url_canon" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents),
+        |m AS (
+        |  SELECT i,
+        |    CASE WHEN i % 2 = 0 THEN 'HTTPS' ELSE 'http' END AS scheme,
+        |    CASE WHEN i % 4 = 0 THEN 'WWW.' ELSE '' END
+        |      || 'Site' || CAST(i % 7 AS VARCHAR) || '.Example.COM' AS host,
+        |    CASE i % 3 WHEN 0 THEN ''
+        |      WHEN 1 THEN CASE WHEN i % 2 = 0 THEN ':443' ELSE ':80' END
+        |      ELSE ':8080' END AS port,
+        |    CASE WHEN i % 11 = 0 THEN ''
+        |      ELSE '/Dir' || CAST(i % 5 AS VARCHAR) || '/p' END AS path,
+        |    CASE i % 4 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed&b=2&a=1'
+        |      WHEN 2 THEN '?gclid=x' ELSE '?z=9&a=1' END AS query,
+        |    CASE WHEN i % 2 = 1 THEN '#frag' ELSE '' END AS frag
+        |  FROM d)
+        |SELECT i AS doc_id,
+        |  scheme || '://' || host || port || path || query || frag AS messy_url,
+        |  lower(scheme) || '://' || lower(host)
+        |    || CASE WHEN i % 3 = 2 THEN ':8080' ELSE '' END
+        |    || CASE WHEN i % 11 = 0 THEN '/' ELSE path END
+        |    || CASE i % 4 WHEN 1 THEN '?a=1&b=2' WHEN 3 THEN '?a=1&z=9' ELSE '' END
+        |    AS canon_url,
+        |  lower(host) AS canon_host,
+        |  CASE WHEN i % 4 = 0
+        |    THEN 'site' || CAST(i % 7 AS VARCHAR) || '.example.com'
+        |    ELSE lower(host) END AS dedup_host
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q54: the indexed-gray GIF round-trip is lossless and luma(gray g) = g,
     // so every sampled-frame statistic is recomputed exactly from the
     // pattern formula (all 2..6 frames are under the sample cap)
