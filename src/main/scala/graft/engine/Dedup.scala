@@ -48,6 +48,31 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** URL-keyed exact dedup: group by the CANONICAL url (graft.core.UrlOps —
+    * case/port/fragment/tracking-param variants collapse to one key) and
+    * keep the smallest id per canonical url. Same one-shuffle shape as
+    * [[exactGroups]] — the canonicalization is a per-row map before the
+    * groupBy, so map-side partial aggregation still applies. This is the
+    * entry stage of web dedup: it runs BEFORE content hashing because it
+    * needs no page body at all.
+    */
+  def urlGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(urlCol).cast("string").as("u"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .mapPartitions(_.map { case (u, id) => (graft.core.UrlOps.canonicalize(u), id) })
+      .toDF("canon_url", "id")
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("keeper_id"))
+  }
+
+  /** URL-keyed dedup: keep the smallest id per canonical url. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val keepers = urlGroups(df, idCol, urlCol).select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   final case class Sig(id: Long, sig: Array[Long], bands: Array[Long])
   final case class Pair(a: Long, b: Long)
   final case class ScoredPair(a: Long, b: Long, estimated_jaccard: Double)

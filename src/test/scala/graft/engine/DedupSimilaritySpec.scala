@@ -24,6 +24,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("url-keyed dedup collapses canonical variants of the same page") {
+    import spark.implicits._
+    val pages = Seq(
+      1L -> "https://www.ex.com/a?utm_source=feed&b=2",
+      2L -> "HTTPS://www.EX.com:443/a?b=2#frag", // same canonical as 1
+      3L -> "https://www.ex.com/a?b=3", // different query value
+      4L -> "http://other.org/x",
+    ).toDF("id", "url")
+    val kept = Dedup.dedupByUrl(pages, "id", "url")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+    val groups = Dedup.urlGroups(pages, "id", "url")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(groups("https://www.ex.com/a?b=2") == ((2L, 1L)), "two variants, keeper = min id")
+  }
+
   test("minhash LSH finds exact and near duplicates") {
     import spark.implicits._
     val ds = corpusWithDups.as[(Long, String)]
