@@ -653,6 +653,25 @@ object SparkEntry {
         .toDF("doc_id", "messy_url", "canon_url", "canon_host", "dedup_host")
         .sortWithinPartitions(col("doc_id"))
     }),
+    "q56_line_dedup" -> ((s, dir) => {
+      // Corpus-wide line dedup (the CCNet/RefinedWeb boilerplate-removal
+      // pattern): rebuild each doc as lines of 8 tokens wrapped in planted
+      // cross-document boilerplate (a corpus-wide header on every doc, a
+      // footer shared by every 10th), then run the production dedupLines —
+      // each repeated line must survive only at its corpus-wide first
+      // (doc_id, idx) occurrence. The oracle recomputes the construction
+      // AND the dedup semantics independently in SQL.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = text.split(" ").grouped(8).map(_.mkString(" ")).mkString("\n")
+          (id, s"CORPUS HEADER BOILERPLATE\n$body\nFooter ${id % 10}")
+        }
+        .toDF("doc_id", "text")
+      Dedup.dedupLines(docs, "doc_id", "text")
+        .orderBy("doc_id") // behind the reassembly exchange — no double kernel
+    }),
     "q34_geometry" -> ((s, dir) => {
       // §2.13 + S3: rebuild each doc with structure (every 8th token
       // boundary becomes a newline, every 5th a 3-space run), emit the grid
@@ -1451,6 +1470,31 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
         |  CAST(sum(c) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q56: the oracle rebuilds the same boilerplate-wrapped line corpus and
+    // replays the dedup rule (first corpus-wide (doc,idx) occurrence wins;
+    // whitespace-only lines exempt) with window-free min aggregation
+    "q56_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |lin AS (
+        |  SELECT doc_id, 0 AS idx, 'CORPUS HEADER BOILERPLATE' AS line FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(j + 1 AS INT),
+        |    array_to_string(ws[8*j+1 : 8*j+8], ' ')
+        |  FROM d, range(0, 400) t(j) WHERE 8*j < len(ws)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(ceil(len(ws) / 8.0) AS INT) + 1,
+        |    'Footer ' || CAST(doc_id % 10 AS VARCHAR) FROM d),
+        |firsts AS (
+        |  SELECT line, min(doc_id * 1000000 + idx) AS fp
+        |  FROM lin WHERE trim(line) != '' GROUP BY line),
+        |kept AS (
+        |  SELECT l.doc_id, l.idx, l.line
+        |  FROM lin l LEFT JOIN firsts f ON l.line = f.line
+        |  WHERE f.fp IS NULL OR f.fp = l.doc_id * 1000000 + l.idx)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY idx) AS text,
+        |  CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q55: both the messy url and its canonical form have closed forms in
     // doc_id, so the oracle validates the UrlOps parser end-to-end without
     // reimplementing it — it just states what the canonical MUST be

@@ -73,6 +73,45 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Corpus-wide line-level dedup (the CCNet/RefinedWeb pattern): a line is
+    * kept only in the document holding its corpus-wide FIRST occurrence —
+    * first = smallest (id, line index) — so boilerplate repeated across
+    * pages (headers, footers, nav fragments) survives exactly once.
+    * Whitespace-only lines are never deduplicated (they are structure, not
+    * content). Entirely built-in Catalyst functions: posexplode → groupBy
+    * on the line (one shuffle, map-side partial min) → join back → ordered
+    * reassembly via sort_array(collect_list(struct(idx, line))) — two
+    * shuffles total, both keyed and partial-agg friendly.
+    *
+    * A document whose every line is deduplicated away (an exact duplicate
+    * of earlier documents) disappears from the output entirely — the
+    * CCNet-style reading that a page reduced to pure boilerplate carries
+    * no content. `maxLines` bounds lines per document for the (id, idx)
+    * packing; docs beyond it fail loudly rather than mis-ordering.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxLines: Long = 1000000L): DataFrame = {
+    val id = col(idCol).cast("long")
+    val lines = df
+      .select(id.as("id"), posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("pos",
+        when(col("idx") < lit(maxLines), col("id") * lit(maxLines) + col("idx"))
+          .otherwise(raise_error(lit(s"dedupLines: document exceeds $maxLines lines"))))
+    val firsts = lines
+      .filter(trim(col("line")) =!= "")
+      .groupBy("line")
+      .agg(min("pos").as("first_pos"))
+    lines.join(firsts, Seq("line"), "left")
+      .filter(col("first_pos").isNull || col("first_pos") === col("pos"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")),
+          "\n").as(textCol),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   final case class Sig(id: Long, sig: Array[Long], bands: Array[Long])
   final case class Pair(a: Long, b: Long)
   final case class ScoredPair(a: Long, b: Long, estimated_jaccard: Double)

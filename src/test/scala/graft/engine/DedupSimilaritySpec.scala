@@ -40,6 +40,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(groups("https://www.ex.com/a?b=2") == ((2L, 1L)), "two variants, keeper = min id")
   }
 
+  test("corpus-wide line dedup keeps each line only at its first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "SHARED HEADER\nunique one\n\nfooter A",
+      2L -> "SHARED HEADER\nunique two\n\nfooter A",
+      3L -> "unique three\nfooter A\nSHARED HEADER",
+    ).toDF("id", "text")
+    val out = Dedup.dedupLines(docs, "id", "text")
+      .select("id", "text").as[(Long, String)].collect().toMap
+    // header + footer survive only in doc 1 (first occurrence by (id, idx));
+    // the whitespace-only line is structure and survives everywhere
+    assert(out(1L) == "SHARED HEADER\nunique one\n\nfooter A")
+    assert(out(2L) == "unique two\n")
+    assert(out(3L) == "unique three")
+  }
+
   test("minhash LSH finds exact and near duplicates") {
     import spark.implicits._
     val ds = corpusWithDups.as[(Long, String)]
