@@ -653,6 +653,25 @@ object SparkEntry {
         .toDF("doc_id", "messy_url", "canon_url", "canon_host", "dedup_host")
         .sortWithinPartitions(col("doc_id"))
     }),
+    "q57_pii_redact" -> ((s, dir) => {
+      // PII redaction: build a deterministic line per doc carrying one real
+      // email, one real url, one www-form url, and two near-misses, then
+      // mask through the production Redact (which shares its token
+      // predicates with the extraction scorer). The oracle states the
+      // redacted line's closed form directly — parser and masks verified
+      // end-to-end, negatives proven untouched.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartitionByRange(8, col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { i =>
+          val line = s"Kontakt kunde$i@firma.de Seite https://ex$i.example.com/p?x=$i " +
+            s"oder www.site$i.org aber kunde$i(at)firma und http:/kaputt$i Ende ${i % 100},50"
+          (i, Redact.redactPII(line))
+        })
+        .toDF("doc_id", "redacted")
+        .sortWithinPartitions(col("doc_id"))
+    }),
     "q56_line_dedup" -> ((s, dir) => {
       // Corpus-wide line dedup (the CCNet/RefinedWeb boilerplate-removal
       // pattern): rebuild each doc as lines of 8 tokens wrapped in planted
@@ -1470,6 +1489,15 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
         |  CAST(sum(c) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q57: the redacted line has a closed form — email and the two url
+    // shapes mask, the (at)-obfuscated and malformed-scheme tokens survive
+    "q57_pii_redact" ->
+      """SELECT doc_id,
+        |  'Kontakt <EMAIL> Seite <URL> oder <URL> aber kunde'
+        |    || CAST(doc_id AS VARCHAR) || '(at)firma und http:/kaputt'
+        |    || CAST(doc_id AS VARCHAR) || ' Ende '
+        |    || CAST(doc_id % 100 AS VARCHAR) || ',50' AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q56: the oracle rebuilds the same boilerplate-wrapped line corpus and
     // replays the dedup rule (first corpus-wide (doc,idx) occurrence wins;
     // whitespace-only lines exempt) with window-free min aggregation

@@ -23,6 +23,21 @@ object Scorer {
   private val emailRe = java.util.regex.Pattern.compile("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$")
   private val urlRe = java.util.regex.Pattern.compile("^(https?://|www\\.)\\S+$")
 
+  /** The scorer's email-token shape, shared with PII redaction so masking
+    * and labeling can never disagree on what an email is.
+    */
+  def isEmailToken(s: String): Boolean =
+    s.length >= 5 && s.indexOf('@') >= 0 && s.indexOf('.') >= 0 && emailRe.matcher(s).matches()
+
+  /** The scorer's url-token shape (same sharing contract). */
+  def isUrlToken(s: String): Boolean = {
+    if (s.length < 7) return false
+    val c0 = s.charAt(0)
+    (c0 == 'h' || c0 == 'w') &&
+      (s.startsWith("http://") || s.startsWith("https://") || s.startsWith("www.")) &&
+      urlRe.matcher(s).matches()
+  }
+
   /** Score one token interval of `text` in place; None = NO_LABEL. */
   def scoreToken(text: String, start: Int, end: Int): Option[Scored] = {
     val len = end - start
