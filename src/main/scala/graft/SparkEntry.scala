@@ -653,6 +653,20 @@ object SparkEntry {
         .toDF("doc_id", "messy_url", "canon_url", "canon_host", "dedup_host")
         .sortWithinPartitions(col("doc_id"))
     }),
+    "q58_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 25th doc's first 13 tokens form
+      // the "eval set"; any doc sharing a word 13-gram with it is flagged
+      // (the bench docs flag themselves, and the corpus's planted exact
+      // duplicates of them get caught too — the point of the op). The
+      // corpus side never shuffles: bench grams broadcast, one narrow
+      // explode + broadcast semi-join + distinct.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs
+        .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
+        .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
+      Dedup.contaminatedDocs(docs, "doc_id", "text", bench)
+        .orderBy("doc_id") // behind the distinct exchange
+    }),
     "q57_pii_redact" -> ((s, dir) => {
       // PII redaction: build a deterministic line per doc carrying one real
       // email, one real url, one www-form url, and two near-misses, then
@@ -1489,6 +1503,19 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
         |  CAST(sum(c) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // q58: the oracle regenerates every 13-gram window and the bench set
+    // independently and joins them exactly — no hashing on either side
+    "q58_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
+        |  FROM d WHERE doc_id % 25 = 0 AND len(ws) >= 13),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i : i + 12], ' ') AS gram
+        |  FROM d JOIN nums ON i <= len(ws) - 12)
+        |SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+        |ORDER BY doc_id""".stripMargin,
     // q57: the redacted line has a closed form — email and the two url
     // shapes mask, the (at)-obfuscated and malformed-scheme tokens survive
     "q57_pii_redact" ->

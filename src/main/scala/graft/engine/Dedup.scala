@@ -73,6 +73,31 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination (the standard pre-training hygiene step):
+    * flag every document sharing at least one word n-gram (n=13 by
+    * convention) with a benchmark/eval text set, so evaluation data can be
+    * removed from the training corpus. The benchmark side is tiny relative
+    * to the corpus, so its distinct n-grams BROADCAST and the corpus is
+    * never shuffled — one narrow explode of built-in expressions
+    * (transform/sequence/slice, codegen-resident) and a broadcast
+    * left-semi join. Exact string n-grams, no hashing — zero false
+    * positives by construction.
+    */
+  def contaminatedDocs(df: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int = 13): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val grams = df.select(
+      col(idCol),
+      explode(
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    grams
+      .join(broadcast(benchGrams.select(col("gram")).distinct()), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Corpus-wide line-level dedup (the CCNet/RefinedWeb pattern): a line is
     * kept only in the document holding its corpus-wide FIRST occurrence —
     * first = smallest (id, line index) — so boilerplate repeated across

@@ -40,6 +40,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(groups("https://www.ex.com/a?b=2") == ((2L, 1L)), "two variants, keeper = min id")
   }
 
+  test("decontamination flags docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon", // contains the bench 3-gram
+      2L -> "beta gamma alpha zeta eta", // same words, different order — clean
+      3L -> "unrelated words entirely here now",
+      4L -> "x y alpha beta gamma", // bench 3-gram at the end
+      5L -> "too short", // shorter than n — never flagged
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma").toDF("gram")
+    val flagged = Dedup.contaminatedDocs(docs, "id", "text", bench, n = 3)
+      .as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(1L, 4L))
+  }
+
   test("corpus-wide line dedup keeps each line only at its first occurrence") {
     import spark.implicits._
     val docs = Seq(
