@@ -1535,13 +1535,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, CAST(j + 1 AS INT),
         |    array_to_string(ws[8*j+1 : 8*j+8], ' ')
-        |  FROM d, range(0, 400) t(j) WHERE 8*j < len(ws)
+        |  FROM d, range(0, 500) t(j) WHERE 8*j < len(ws)
         |  UNION ALL
         |  SELECT doc_id, CAST(ceil(len(ws) / 8.0) AS INT) + 1,
         |    'Footer ' || CAST(doc_id % 10 AS VARCHAR) FROM d),
         |firsts AS (
         |  SELECT line, min(doc_id * 1000000 + idx) AS fp
-        |  FROM lin WHERE trim(line) != '' GROUP BY line),
+        |  FROM lin
+        |  WHERE translate(line, ' ' || chr(9) || chr(13) || chr(12), '') != ''
+        |  GROUP BY line),
         |kept AS (
         |  SELECT l.doc_id, l.idx, l.line
         |  FROM lin l LEFT JOIN firsts f ON l.line = f.line

@@ -104,26 +104,34 @@ object Dedup {
     * pages (headers, footers, nav fragments) survives exactly once.
     * Whitespace-only lines are never deduplicated (they are structure, not
     * content). Entirely built-in Catalyst functions: posexplode → groupBy
-    * on the line (one shuffle, map-side partial min) → join back → ordered
-    * reassembly via sort_array(collect_list(struct(idx, line))) — two
-    * shuffles total, both keyed and partial-agg friendly.
+    * on the line (map-side partial min) → join back on the line → ordered
+    * reassembly via sort_array(collect_list(struct(idx, line))) — three
+    * keyed exchanges on the exploded lines (firsts groupBy and the join's
+    * probe side both hash on `line`; reassembly hashes on id), the two
+    * aggregations partial-agg friendly, the join a plain hash join.
     *
     * A document whose every line is deduplicated away (an exact duplicate
     * of earlier documents) disappears from the output entirely — the
     * CCNet-style reading that a page reduced to pure boilerplate carries
     * no content. `maxLines` bounds lines per document for the (id, idx)
-    * packing; docs beyond it fail loudly rather than mis-ordering.
+    * packing; docs beyond it — or ids outside [0, Long.MaxValue/maxLines)
+    * — fail loudly rather than mis-ordering.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxLines: Long = 1000000L): DataFrame = {
     val id = col(idCol).cast("long")
+    val maxId = Long.MaxValue / maxLines
     val lines = df
       .select(id.as("id"), posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
       .withColumn("pos",
-        when(col("idx") < lit(maxLines), col("id") * lit(maxLines) + col("idx"))
-          .otherwise(raise_error(lit(s"dedupLines: document exceeds $maxLines lines"))))
+        when(col("idx") < lit(maxLines) && col("id") >= 0 && col("id") < lit(maxId),
+          col("id") * lit(maxLines) + col("idx"))
+          .otherwise(raise_error(lit(
+            s"dedupLines: (id, idx) outside packing bounds (0 <= id < $maxId, idx < $maxLines)"))))
     val firsts = lines
-      .filter(trim(col("line")) =!= "")
+      // whitespace-only = nothing but space/tab/CR/FF (trim would only
+      // strip spaces, treating a tab-indent line as dedupable content)
+      .filter(translate(col("line"), " \t\r\f", "") =!= "")
       .groupBy("line")
       .agg(min("pos").as("first_pos"))
     lines.join(firsts, Seq("line"), "left")

@@ -7,9 +7,11 @@ package graft.engine
   * / [[Scorer.isUrlToken]]), so a span the engine labels `email` is exactly
   * a span redaction masks; the two surfaces cannot drift apart.
   *
-  * Single pass, token = maximal run of non-whitespace (the whitespace
-  * tokenizer's shape); pure function of the text — safe at any
-  * partitioning, deterministic for resume/lineage.
+  * Single pass, token = maximal run of non-whitespace with EXACTLY the
+  * whitespace tokenizer's separator set (space, \n, \t, \f — NOT \r, which
+  * the tokenizer treats as part of a token and the url/email regexes then
+  * reject); pure function of the text — safe at any partitioning,
+  * deterministic for resume/lineage.
   */
 object Redact {
   val EmailMask = "<EMAIL>"
@@ -22,14 +24,14 @@ object Redact {
     var i = 0
     while (i < n) {
       val c = text.charAt(i)
-      if (c == ' ' || c == '\n' || c == '\t' || c == '\f' || c == '\r') {
+      if (c == ' ' || c == '\n' || c == '\t' || c == '\f') {
         sb.append(c)
         i += 1
       } else {
         var j = i
         while (j < n && {
           val d = text.charAt(j)
-          d != ' ' && d != '\n' && d != '\t' && d != '\f' && d != '\r'
+          d != ' ' && d != '\n' && d != '\t' && d != '\f'
         }) j += 1
         val tok = text.substring(i, j)
         if (Scorer.isEmailToken(tok)) sb.append(EmailMask)

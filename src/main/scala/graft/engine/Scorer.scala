@@ -63,9 +63,12 @@ object Scorer {
     }
     val digitFrac = digits.toDouble / len
 
+    // the cheap hasAt/hasDot/prefix gates avoid the substring allocation on
+    // the common path; the SHARED predicates (also used by Redact) are the
+    // single source of truth for what an email/url token is
     if (hasAt && hasDot && len >= 5) {
       val s = text.substring(start, end)
-      if (emailRe.matcher(s).matches())
+      if (isEmailToken(s))
         return Some(Scored(Span(start, end), "email", sigmoid(4.0 + 0.05 * len), s.toLowerCase))
     }
     val c0 = text.charAt(start)
@@ -73,7 +76,7 @@ object Scorer {
         (text.regionMatches(start, "http://", 0, 7) || text.regionMatches(start, "https://", 0, 8) ||
           text.regionMatches(start, "www.", 0, 4))) {
       val s = text.substring(start, end)
-      if (urlRe.matcher(s).matches())
+      if (isUrlToken(s))
         return Some(Scored(Span(start, end), "url", sigmoid(3.5 + 0.02 * len), s))
     }
 
