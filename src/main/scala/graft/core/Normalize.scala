@@ -99,10 +99,13 @@ object Normalize {
       val t = (s.substring(0, ln - 3) + "." + s.substring(ln - 2)).replace(",", "")
       if (dotPartsDecimal(t)) fl = Some(parse(t))
     } else if (ln > 6 && nDots >= 2 && s.charAt(ln - 3) == '.' && s.charAt(ln - 7) == '.') {
-      // 1.234.56
+      // 1.234.56 — guard near-all-dot inputs ("......." matches this
+      // branch's shape but flattens below 2 chars)
       val flat = s.replace(".", "")
-      val t = flat.substring(0, flat.length - 2) + "." + flat.substring(flat.length - 2)
-      if (dotPartsDecimal(t)) fl = Some(parse(t))
+      if (flat.length >= 2) {
+        val t = flat.substring(0, flat.length - 2) + "." + flat.substring(flat.length - 2)
+        if (dotPartsDecimal(t)) fl = Some(parse(t))
+      }
     } else if (ln > 5 && nDots == 2 && s.last == '.' && s.charAt(ln - 5) == '.') {
       // 1.967.
       val t = s.replace(".", "")
@@ -379,13 +382,17 @@ object Normalize {
   /** Dispatch by label data type (normalize.py:645-667). Returns the
     * normalized value boxed as Any (Double / String / Boolean) or None.
     */
-  def normalize(s: String, dataType: String): Option[Any] = dataType match {
-    case "Positive Number" | "float_positive" => normalizeToPositiveFloat(s)
-    case "Number" | "float" => normalizeToFloat(s)
-    case "Date" | "date" => normalizeToDate(s)
-    case "True/False" | "bool" => normalizeToBool(s)
-    case "Percentage" | "percentage" => normalizeToPercentage(s)
-    case "Text" | "str" => Some(s)
-    case _ => None
-  }
+  def normalize(s: String, dataType: String): Option[Any] =
+    // the reference's dispatch swallows EVERY exception to None
+    // (normalize.py:645-667) — on the extraction hot path a pathological
+    // token must normalize to nothing, not kill the Spark task
+    try dataType match {
+      case "Positive Number" | "float_positive" => normalizeToPositiveFloat(s)
+      case "Number" | "float" => normalizeToFloat(s)
+      case "Date" | "date" => normalizeToDate(s)
+      case "True/False" | "bool" => normalizeToBool(s)
+      case "Percentage" | "percentage" => normalizeToPercentage(s)
+      case "Text" | "str" => Some(s)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

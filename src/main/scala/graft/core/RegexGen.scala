@@ -106,18 +106,45 @@ object RegexGen {
       end: Int,
       annotationRegex: String,
       search: Seq[Int] = Seq(2, 5, 10),
+      maxFindingsPerPage: Int = 100,
   ): Vector[String] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
     val out = Vector.newBuilder[String]
+    // pages for the findings guard = form-feed count + 1 (data.py:2247)
+    lazy val nPages = { var c = 1; var i = 0; while (i < text.length) { if (text.charAt(i) == '\f') c += 1; i += 1 }; c }
     search.foreach { spacer =>
+      // Python-slice parity (data.py:2229-2231): text[start - spacer² :
+      // start] with a negative begin resolves from the END of the text
+      // (clamped to 0), and a resolved begin past `start` yields "" — NOT
+      // a clamp-to-0 prefix. Annotations near the document head therefore
+      // get an EMPTY before-context in long documents, like the reference.
+      val rawBegin = start - spacer * spacer
+      val begin = if (rawBegin < 0) math.max(0, text.length + rawBegin) else rawBegin
       val before = suggestRegexForString(
-        text.substring(math.max(0, start - spacer * spacer), start), replaceCharacters = true)
+        if (begin < start) text.substring(begin, start) else "", replaceCharacters = true)
       val after = suggestRegexForString(
         text.substring(end, math.min(text.length, end + spacer)), replaceCharacters = true)
       val proposal = before + annotationRegex + after
-      if (seen.add(normalizedMatcher(proposal))) out += proposal
+      if (seen.add(normalizedMatcher(proposal))) {
+        // max_findings_per_page guard (data.py:2244-2251): a degenerate
+        // catch-all proposal is rejected before it reaches the expensive
+        // corpus-wide evaluation stage
+        if (maxFindingsPerPage <= 0 ||
+            countFindings(text, proposal).toDouble / nPages < maxFindingsPerPage)
+          out += proposal
+      }
     }
     out.result()
+  }
+
+  /** Non-overlapping match count of `regex` in `text` (re.findall length). */
+  private def countFindings(text: String, regex: String): Int = {
+    try {
+      val m = CompiledPattern.compile(regex).pattern.matcher(text)
+      var c = 0
+      while (m.find()) c += 1
+      c
+    } catch { case scala.util.control.NonFatal(_) => Int.MaxValue } // unmatchable proposal → reject
   }
 
   /** R12 `generic_candidate_function` (regex.py:247-291): split a text into
@@ -129,7 +156,14 @@ object RegexGen {
     val candidates = ms.map(_.value)
     val other = Vector.newBuilder[String]
     var prev = 0
-    spans.foreach { sp => other += text.substring(prev, sp.start); prev = sp.end }
+    spans.foreach { sp =>
+      // Python-slice semantics (regex.py:283-286): doctext[prev:start] with
+      // prev > start yields "" — nested/overlapping capture groups emit
+      // spans out of order and must degrade exactly like the reference,
+      // not throw
+      other += (if (sp.start <= prev) "" else text.substring(prev, sp.start))
+      prev = sp.end
+    }
     other += text.substring(prev)
     (candidates, other.result(), spans)
   }

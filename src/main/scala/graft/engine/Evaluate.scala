@@ -48,14 +48,28 @@ object Evaluate {
     val eligible = df.filter(col("above_predicted_threshold") && col("is_matched"))
     val groupCols = // group==target (multiline self-election) needs one col
       if (groupCol == targetCol) Seq(col(groupCol)) else Seq(col(groupCol), col(targetCol))
-    val votes = eligible
-      .filter(col(targetCol).isNotNull)
-      .groupBy(groupCols: _*)
-      .agg(sum(coalesce(col("confidence_predicted"), lit(1.0))).as("w"))
-    val pick = row_number().over(
-      Window.partitionBy(col(groupCol)).orderBy(col("w").desc, col(targetCol).asc))
-    val elected = votes.withColumn("rn", pick).filter(col("rn") === 1)
-      .select(col(groupCol).as("g"), col(targetCol).as(s"elected_$targetCol"))
+    def rank1(src: DataFrame): DataFrame = {
+      val votes = src
+        .filter(col(targetCol).isNotNull)
+        .groupBy(groupCols: _*)
+        .agg(sum(coalesce(col("confidence_predicted"), lit(1.0))).as("w"))
+      val pick = row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("w").desc, col(targetCol).asc))
+      votes.withColumn("rn", pick).filter(col("rn") === 1)
+        .select(col(groupCol).as("g"), col(targetCol).as(s"elected_$targetCol"))
+    }
+    // groups with NO eligible voter fall back to an election over ALL of
+    // the group's rows (evaluate.py:51-55: mode / weighted_mode of the
+    // whole group when nothing is above threshold & matched). Divergence
+    // kept deliberately small: the reference's mode(dropna=False) can
+    // elect NaN when null targets are the modal value — we elect the best
+    // non-null target there (observable only in all-null-majority groups,
+    // where both readings flag every row false anyway unless ids collide).
+    val hasEligible = eligible.select(col(groupCol).as("ge")).distinct()
+    val all = rank1(df)
+    val fallback = all
+      .join(hasEligible, all("g") <=> hasEligible("ge"), "left_anti")
+    val elected = rank1(eligible).unionByName(fallback)
     // null target never equals an election result (the reference's
     // no-target-to-predict branch yields None → False, evaluate.py:56-57)
     df.join(elected, df(groupCol) <=> elected("g"), "left")
@@ -65,13 +79,21 @@ object Evaluate {
           col(targetCol) === col(s"elected_$targetCol"))
   }
 
-  /** Strict compare (evaluate.py:88-103): full outer join on exact offsets. */
+  /** Strict compare (evaluate.py:88-103): full outer join on exact offsets.
+    * is_matched mirrors the reference's `id_local.notna()` — GT-side
+    * presence after the outer join, keyed on a synthesized always-present
+    * marker rather than ann_id (which callers may legitimately leave null,
+    * the way the reference's predictions have id_=None but always carry a
+    * local id).
+    */
   def compareStrict(gt: DataFrame, pred: DataFrame): DataFrame = {
     val p = pred.columns.foldLeft(pred)((d, c) =>
       if (Seq("doc_id", "start_offset", "end_offset").contains(c)) d else d.withColumnRenamed(c, c + "_predicted"))
-    val joined = gt.join(p, Seq("doc_id", "start_offset", "end_offset"), "outer")
+    val joined = gt.withColumn("__gt_present", lit(1))
+      .join(p, Seq("doc_id", "start_offset", "end_offset"), "outer")
     flag(joined
-      .withColumn("is_matched", col("ann_id").isNotNull && col("ann_id_predicted").isNotNull)
+      .withColumn("is_matched", col("__gt_present").isNotNull)
+      .drop("__gt_present")
       .withColumn("start_offset_predicted", col("start_offset")) // join-key identity (evaluate.py:92-93)
       .withColumn("end_offset_predicted", col("end_offset"))
       .withColumn("above_predicted_threshold",
@@ -133,6 +155,8 @@ object Evaluate {
     */
   def tokenizerEvaluate(tokens: DataFrame, gt: DataFrame): DataFrame = {
     val tk = tokens.select(col("doc_id"), col("start_offset"), col("end_offset"))
+      .distinct() // duplicate tokens (e.g. a union of tokenizers) must not
+      // fan out the joined gt rows and inflate both n_gt and n_found
       .withColumn("found", lit(1))
     gt.select(col("doc_id"), col("start_offset"), col("end_offset"))
       .join(tk, Seq("doc_id", "start_offset", "end_offset"), "left")
@@ -158,10 +182,14 @@ object Evaluate {
   def capNoLabel(df: DataFrame, labelCol: String, noLabel: String, limit: Int): DataFrame = {
     // rank within the NO_LABEL subset only (partition by the label class) —
     // a doc-wide rank would drop negatives whenever labeled rows precede them
+    // null-safe: upstream labelByContainment represents NO_LABEL as null,
+    // and a null === comparison is null (not false) — without <=> every
+    // null-labeled negative would bypass the cap entirely
+    val isNoLabel = col(labelCol) <=> noLabel || col(labelCol).isNull
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col(labelCol) === noLabel).orderBy(col("start_offset"))
+      .partitionBy(col("doc_id"), isNoLabel).orderBy(col("start_offset"))
     df.withColumn("__rn",
-      when(col(labelCol) === noLabel, row_number().over(w)).otherwise(lit(0)))
+      when(isNoLabel, row_number().over(w)).otherwise(lit(0)))
       .filter(col("__rn") <= limit)
       .drop("__rn")
   }
@@ -293,11 +321,15 @@ object Evaluate {
 
   /** Aggregate flags → counters (E6), optionally per extra grouping column. */
   def summarize(flags: DataFrame, by: Seq[Column] = Nil): DataFrame =
+    // coalesce: a global aggregation over an EMPTY flags frame yields null
+    // sums, which would NPE the primitive getAs in calc() (the reference
+    // guards with `assert not spans.empty`, evaluate.py:124 — an empty
+    // compare legitimately yields all-zero counts here instead)
     flags.groupBy(by: _*).agg(
-      sum("true_positive").as("tp"),
-      sum("false_positive").as("fp"),
-      sum("false_negative").as("fn"),
-      sum("is_found_by_tokenizer").as("found_by_tokenizer"),
+      coalesce(sum("true_positive"), lit(0L)).as("tp"),
+      coalesce(sum("false_positive"), lit(0L)).as("fp"),
+      coalesce(sum("false_negative"), lit(0L)).as("fn"),
+      coalesce(sum("is_found_by_tokenizer"), lit(0L)).as("found_by_tokenizer"),
       count(lit(1)).as("n_spans"))
 
   def calc(flags: DataFrame): Calc = {

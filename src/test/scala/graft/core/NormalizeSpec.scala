@@ -130,4 +130,12 @@ class NormalizeSpec extends AnyFunSuite {
     assert(Normalize.normalize("text", "str") == Some("text"))
     assert(Normalize.normalize("x", "unknown").isEmpty)
   }
+
+  test("pathological tokens normalize to None, never throw (normalize.py:645-667)") {
+    // "......." matches the 1.234.56 branch shape but flattens to ""
+    assert(Normalize.normalizeToFloat(".......").isEmpty)
+    assert(Normalize.normalizeToAbsoluteFloat("........").isEmpty)
+    for (bad <- Seq(".......", "..", ",,,,,,,", ". . . .", "\u0000\u0000"))
+      assert(Normalize.normalize(bad, "float").isEmpty, s"'$bad' must be None")
+  }
 }

@@ -35,6 +35,39 @@ class ReferenceOpsSpec extends AnyFunSuite {
     assert(rebuilt == "a 12 b 34 c")
   }
 
+  test("R12: nested capture groups degrade like Python slicing, not throw") {
+    // group spans emit in definition order (outer then inner): the inner
+    // span starts BEFORE the walker's previous end — Python's
+    // doctext[prev:start] yields '' there (regex.py:283-286)
+    val (cands, other, spans) = RegexGen.candidateSplit("abcd e", "(?P<a>ab(?P<b>c)d)")
+    assert(cands == Vector("abcd", "c"))
+    assert(spans == Vector(Span(0, 4), Span(2, 3)))
+    assert(other == Vector("", "", "d e"))
+  }
+
+  test("R10: near-head annotations get an EMPTY before-context in long docs (negative-slice parity)") {
+    // reference: text[start - spacer² : start] with a negative begin
+    // resolves from the END of the text (data.py:2229-2231) — for a long
+    // doc that is an empty prefix, NOT the clamped head of the document
+    val text = ("x" * 200) + " INV-1234 due"
+    val headText = "INV-1234 " + ("y" * 300)
+    val fromHead = RegexGen.contextProposals(headText, 0, 8, "(?P<L>INV[-]\\d{4})")
+    // spacer²=4/25/100 all exceed start=0 → before must be "" in all three
+    fromHead.foreach(p => assert(p.startsWith("(?P<L>"), s"unexpected before-context in $p"))
+    val mid = RegexGen.contextProposals(text, 201, 209, "(?P<L>INV[-]\\d{4})")
+    assert(mid.exists(!_.startsWith("(?P<L>")), "mid-doc annotations DO get before-context")
+  }
+
+  test("R10: catch-all proposals are rejected by the findings-per-page guard") {
+    // a proposal whose context generalizes to near-everything must be
+    // dropped before evaluation (data.py:2244-2251)
+    val text = "a " * 300
+    val got = RegexGen.contextProposals(text, 2, 3, "(?P<L>[a-z])", maxFindingsPerPage = 10)
+    assert(got.isEmpty, s"degenerate proposals survived: $got")
+    val kept = RegexGen.contextProposals(text, 2, 3, "(?P<L>[a-z])", maxFindingsPerPage = 0)
+    assert(kept.nonEmpty, "guard disabled -> proposals flow")
+  }
+
   test("X2: spatial features relative to page") {
     val b = Geometry.Box(10, 20, 30, 40, page = 1, line = 3)
     val f = Geometry.spatialFeatures(b, pageW = 100, pageH = 200, nPages = 4)

@@ -36,6 +36,36 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(capped.toSeq == Seq(0, 10, 20, 30)) // both labeled + first 2 negatives
   }
 
+  test("E7: duplicate tokens do not fan out gt rows or inflate recall") {
+    import spark.implicits._
+    val gt = Seq((1L, 0, 5), (1L, 10, 15)).toDF("doc_id", "start_offset", "end_offset")
+    val tokens = Seq((1L, 0, 5), (1L, 0, 5)).toDF("doc_id", "start_offset", "end_offset")
+    val got = Evaluate.tokenizerEvaluate(tokens, gt)
+      .select("n_gt", "n_found").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((2L, 1L)), "recall must be 0.5, not 0.667")
+  }
+
+  test("C4: null labels count as NO_LABEL for the cap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, null), (1L, 10, null), (1L, 20, null),
+      (1L, 30, "amount"), (1L, 40, null),
+    ).toDF("doc_id", "start_offset", "label")
+    val capped = Evaluate.capNoLabel(df, "label", "NO_LABEL", 2)
+      .select("start_offset").as[Int].collect().sorted
+    assert(capped.toSeq == Seq(0, 10, 30), "null-labeled negatives must be capped too")
+  }
+
+  test("E5: calc on an empty flags frame is all-zero, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long, Long, Long, Long, Long, Double, Double, Boolean)]
+      .toDF("doc_id", "ann_id", "annotation_set_id", "label_id", "label_set_id",
+        "start_offset", "end_offset", "confidence", "label_threshold", "is_correct")
+    val flags = Evaluate.compareStrict(empty, empty)
+    val c = Evaluate.calc(flags)
+    assert(c.tp == 0 && c.fp == 0 && c.fn == 0)
+  }
+
   test("T12: missing_spans returns correct gt spans the tokenizer did not produce") {
     import spark.implicits._
     val gt = Seq(
