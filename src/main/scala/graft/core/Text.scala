@@ -7,7 +7,12 @@ package graft.core
 final case class Span(start: Int, end: Int) {
   require(end >= start, s"Span end $end < start $start")
   def length: Int = end - start
-  def overlaps(other: Span): Boolean = start < other.end && other.start < end
+  // max(starts) < min(ends): identical to the naive pairwise test except
+  // for zero-length spans, which cover no offsets and so can never overlap
+  // anything (the reference's offset-bitmask semantics — range(s, s) fills
+  // nothing)
+  def overlaps(other: Span): Boolean =
+    math.max(start, other.start) < math.min(end, other.end)
   def contains(other: Span): Boolean = start <= other.start && other.end <= end
 }
 

@@ -109,6 +109,10 @@ object Rx {
         else m.end + 1 // avoid zero-length loop
     }
     val res = out.result()
+    // substring containment, not exact match — reference parity: Python
+    // does `filtered_group in result['regex_group']` (regex.py:240-242)
+    // and callers pass 'Label_{id}' without a trailing underscore
+    // (data.py:2264), so 'Label_1' also matches 'Label_12_...' there too
     filteredGroup match {
       case Some(fg) => res.filter(_.group.contains(fg))
       case None => res

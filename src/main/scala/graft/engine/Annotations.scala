@@ -32,12 +32,15 @@ object Annotations {
     * error. Returns Left(existing) on the first rejected candidate.
     */
   def addAll(anns: Seq[Ann]): Either[(Ann, Ann), Vector[Ann]] = {
+    // keyed on (label, sorted spans) — the duplicate identity — so each
+    // candidate is one hash probe instead of a pairwise re-sorting scan
+    val byKey = scala.collection.mutable.HashMap.empty[(String, Vector[Span]), Ann]
     val acc = Vector.newBuilder[Ann]
-    var seen = Vector.empty[Ann]
     anns.foreach { a =>
-      seen.find(isDuplicate(_, a)) match {
+      val key = (a.label, a.spans.sorted)
+      byKey.get(key) match {
         case Some(dup) => return Left((a, dup))
-        case None => seen :+= a; acc += a
+        case None => byKey.put(key, a); acc += a
       }
     }
     Right(acc.result())
@@ -67,7 +70,6 @@ object Annotations {
     val noDupLabels = scala.collection.mutable.HashSet.empty[String]
     val kept = Vector.newBuilder[Ann]
     priority.foreach { a =>
-      val conf = a.confidence.getOrElse(0.0)
       val belowThreshold = a.confidence.exists(c => c != 0.0 && thresholdOf(a.label) > c)
       val rejected = !a.isCorrect && a.revised
       if (!belowThreshold && !rejected) {
@@ -79,7 +81,6 @@ object Annotations {
           if (!hasMultipleTop(a.label)) noDupLabels += a.label
         }
       }
-      val _ = conf // documented: conf participates only through the sort/threshold
     }
     kept.result().sortBy(a =>
       if (a.spans.isEmpty) Int.MaxValue else a.spans.map(_.start).min)

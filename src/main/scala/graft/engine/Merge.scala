@@ -68,6 +68,12 @@ object Merge {
     val out = Vector.newBuilder[Scorer.Scored]
     rowsIn.groupBy(_.label).toVector.sortBy(_._1).foreach { case (label, group) =>
       val dataType = dataTypeOf(label)
+      // below-threshold rows are DROPPED from the output, not just from
+      // merging — reference parity: merge_df's row loop does `continue`
+      // on Accuracy < threshold (information_extraction.py:454-455). The
+      // merged end comes from the buffer's LAST row even when an earlier
+      // member extends further (flush_buffer's buffer[-1]['End'],
+      // information_extraction.py:219-221) — also kept as-is.
       val rows = group.sortBy(r => (r.span.start, r.span.end)).filter(_.confidence >= threshold)
       var buffer = List.empty[Scorer.Scored] // reversed
       def flush(): Unit = if (buffer.nonEmpty) {
@@ -123,8 +129,13 @@ object Merge {
       text: String,
       g: Geometry.CharGrid,
       rowsIn: Seq[Scorer.Scored]): Vector[(Scorer.Scored, Vector[Span])] = {
+    // memoized: the group sort evaluates a box per row and validVertical
+    // re-reads every buffer member's box per candidate — without the cache
+    // that is O(n²) spanBox scans per (doc,label) group
+    val boxCache = scala.collection.mutable.HashMap.empty[Span, Option[Geometry.Box]]
     def boxOf(sp: Span): Option[Geometry.Box] =
-      Geometry.spanBox(g, sp.start, math.min(sp.end, text.length))
+      boxCache.getOrElseUpdate(sp,
+        Geometry.spanBox(g, sp.start, math.min(sp.end, text.length)))
     // per-line-run y-envelopes for bounded containment probes
     val rs = g.runStarts
     val nRuns = rs.length - 1
