@@ -744,7 +744,7 @@ object SparkEntry {
           val pageH = math.max(792.0, (lines.length - 1) * 12.0 + 10.0)
           // columnar end-to-end: grid → payload → validation → kernels share
           // the same primitive arrays; no per-char objects at any stage
-          val payload = Ingest.payloadOf(Geometry.syntheticGrid(m, pageW, pageH))
+          val payload = Ingest.payloadOf(Geometry.syntheticGrid(m, pageH))
           val grid = Ingest.validatedGrid(m, payload, pageW, pageH)
             .fold(err => throw new IllegalStateException(err), identity)
           var boxed = 0L
@@ -1200,22 +1200,30 @@ object SparkEntry {
         |  CAST(COALESCE(r1s - e, 100000) AS BIGINT) AS r1_dist,
         |  CAST(COALESCE(r2s - e, 100000) AS BIGINT) AS r2_dist
         |FROM nbr WHERE i % 5 = 3 ORDER BY doc_id, t_start""".stripMargin,
+    // overlap semantics (utils.py:230-247 tokenizes each annotation's own
+    // slice, so straddling words still tag): the engine tags a token with
+    // the FIRST annotation whose end exceeds the token start, iff the token
+    // end exceeds that annotation's start; first such token per annotation
+    // is B-, the rest I-. Annotations are [200j, 200j+100) while 200j is
+    // inside the text.
     "q41_bio_export" ->
       """WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
-        |parts AS (SELECT doc_id, string_split(text, ' ') AS ps FROM documents),
+        |parts AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ps FROM documents),
         |tok AS (
-        |  SELECT doc_id, i, ps[i] AS tok,
+        |  SELECT doc_id, n_chars, i, ps[i] AS tok,
         |    CAST(COALESCE(sum(length(ps[i]) + 1) OVER (PARTITION BY doc_id ORDER BY i
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS s
         |  FROM parts JOIN nums ON i <= len(ps)),
         |pos AS (
         |  SELECT doc_id, i, tok, s, s + length(tok) AS e,
-        |    CAST(floor(s / 200) AS INT) AS j
+        |    CAST(greatest(0, floor((s - 100) / 200) + 1) AS INT) AS j,
+        |    n_chars
         |  FROM tok WHERE tok <> ''),
-        |c AS (SELECT *, (e <= 200 * j + 100) AS contained FROM pos)
+        |c AS (SELECT *,
+        |    (200 * j < n_chars AND e > 200 * j) AS overlapped FROM pos)
         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS token_index, tok AS token,
-        |  CASE WHEN NOT contained THEN 'O'
-        |       WHEN row_number() OVER (PARTITION BY doc_id, j, contained ORDER BY i) = 1
+        |  CASE WHEN NOT overlapped THEN 'O'
+        |       WHEN row_number() OVER (PARTITION BY doc_id, j, overlapped ORDER BY i) = 1
         |         THEN 'B-L' || CAST(j % 3 AS VARCHAR)
         |       ELSE 'I-L' || CAST(j % 3 AS VARCHAR) END AS tag
         |FROM c ORDER BY doc_id, token_index""".stripMargin,

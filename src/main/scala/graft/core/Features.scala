@@ -33,12 +33,29 @@ object Features {
   def isVowel(c: Char): Boolean = "aeiou".indexOf(Character.toLowerCase(c)) >= 0
   def vowelCount(s: String): Int = s.count(isVowel)
   def upperCount(s: String): Int = s.count(Character.isUpperCase)
-  def digitCount(s: String): Int = s.count(Character.isDigit)
+
+  /** Python `str.isdigit` semantics: decimal digits PLUS digit-typed
+    * characters like superscripts (²³¹ are OTHER_NUMBER with a 0-9 numeric
+    * value) — Java's isDigit alone misses them, fractions stay excluded
+    * (numeric value not in 0-9), matching Python.
+    */
+  @inline private def isPyDigit(c: Char): Boolean =
+    Character.isDigit(c) || (Character.getType(c) == Character.OTHER_NUMBER && {
+      val v = Character.getNumericValue(c); v >= 0 && v <= 9
+    })
+  def digitCount(s: String): Int = s.count(isPyDigit)
+
+  /** Python `str.isspace` semantics: Java isWhitespace EXCLUDES the
+    * non-breaking space family (U+00A0/U+2007/U+202F — ubiquitous in
+    * PDF/OCR text) that isSpaceChar covers; Python counts both.
+    */
+  @inline private def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c)
 
   /** Whitespace count with tabs weighted 4× total (reference quirk:
     * information_extraction.py:952-954 adds `count('\t') * 3` on top).
     */
-  def spaceCount(s: String): Int = s.count(Character.isWhitespace) + s.count(_ == '\t') * 3
+  def spaceCount(s: String): Int = s.count(isPySpace) + s.count(_ == '\t') * 3
 
   def specialCount(s: String): Int = s.count(c => !Character.isLetterOrDigit(c))
   def uniqueCharCount(s: String): Int = s.toSet.size
@@ -59,7 +76,7 @@ object Features {
 
   /** Non-overlapping lowercase substring count (information_extraction.py:670-677). */
   def substringCount(s: String, sub: String): Int =
-    substringCountLower(s.toLowerCase, sub)
+    substringCountLower(s.toLowerCase(java.util.Locale.ROOT), sub)
 
   /** Hot-path variant over an already-lowercased string (convertToFeat runs
     * 32 substring counts per span; one lowercase pass instead of 32).
@@ -70,8 +87,13 @@ object Features {
     n
   }
 
-  def startsWithSubstring(s: String, sub: String): Int = if (s.toLowerCase.startsWith(sub)) 1 else 0
-  def endsWithSubstring(s: String, sub: String): Int = if (s.toLowerCase.endsWith(sub)) 1 else 0
+  // Locale.ROOT: a tr-TR default locale would fold "I" to dotless ı and
+  // silently miss every i-bearing substring feature (Python str.lower is
+  // locale-independent)
+  def startsWithSubstring(s: String, sub: String): Int =
+    if (s.toLowerCase(java.util.Locale.ROOT).startsWith(sub)) 1 else 0
+  def endsWithSubstring(s: String, sub: String): Int =
+    if (s.toLowerCase(java.util.Locale.ROOT).endsWith(sub)) 1 else 0
 
   /** Days since 2010-01-01 for `DD.MM.YYYY`-shaped strings, month-first
     * disambiguation like the reference's pandas parse
@@ -85,7 +107,12 @@ object Features {
     if (parts.length != 3) return 0
     try {
       val a = parts(0).trim.toInt; val b = parts(1).trim.toInt
-      var y = parts(2).trim.toInt
+      // pandas parses "01.01.2010 10:30" (trailing time/suffix) — take the
+      // leading digit run of the year field; negative/empty years fail like
+      // pandas does
+      val yRaw = parts(2).trim.takeWhile(_.isDigit)
+      if (yRaw.isEmpty) return 0
+      var y = yRaw.toInt
       if (y < 100) y = if (y >= 69) 1900 + y else 2000 + y
       // month-first unless impossible (pandas-style inference)
       val (m, d) = if (a <= 12) (a, b) else (b, a)
@@ -105,17 +132,24 @@ object Features {
     }
 
   /** Engine-normalized numeric value or 0 (information_extraction.py:1048-1059). */
-  def numCount(s: String): Double = Normalize.normalizeToFloat(s) match {
-    case Some(v) if v != 0.0 => v
-    case _ => 0.0
-  }
+  def numCount(s: String): Double = Normalize.normalizeToFloat(s).getOrElse(0.0)
 
-  /** Plain float parse with float32-overflow guard (information_extraction.py:1062-1075). */
-  def asPythonFloat(s: String): Double =
-    s.trim.toDoubleOption match {
+  private val pyFloatRe = java.util.regex.Pattern.compile(
+    """[+-]?(?:\d(?:_?\d)*(?:\.(?:\d(?:_?\d)*)?)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?""")
+
+  /** Plain float parse with float32-overflow guard
+    * (information_extraction.py:1062-1075). Python float() syntax, not
+    * Java's: no d/f suffixes or hex floats (Java-only), underscores as
+    * digit separators accepted (Python-only).
+    */
+  def asPythonFloat(s: String): Double = {
+    val t = s.trim
+    if (!pyFloatRe.matcher(t).matches()) return 0.0
+    t.replace("_", "").toDoubleOption match {
       case Some(f) if f < java.lang.Float.MAX_VALUE => f
       case _ => 0.0
     }
+  }
 
   private val substrings = Vector(
     "/", "%", "e", "g", "a", "u", "i", "f", "s", "ö", "ä", "ü", "er", "str", "k", "r",

@@ -323,13 +323,16 @@ object Geometry {
     * layout kernels a deterministic geometry for text-only documents
     * (each char 6x10 units, lines stacked top-down, origin bottom-left).
     */
-  def syntheticCharBoxes(text: String, pageW: Double = 612, pageH: Double = 792): Vector[CharBox] =
-    syntheticGrid(text, pageW, pageH).toCharBoxes
+  def syntheticCharBoxes(text: String, pageH: Double = 792): Vector[CharBox] =
+    syntheticGrid(text, pageH).toCharBoxes
 
   /** Columnar synthetic grid — same metric as [[syntheticCharBoxes]], built
     * straight into parallel arrays (one allocation set per document).
     */
-  def syntheticGrid(text: String, pageW: Double = 612, pageH: Double = 792): CharGrid = {
+  // no pageW parameter: the fixed-metric grid does not wrap or clamp at a
+  // page width (a dead parameter would suggest otherwise) — callers that
+  // validate against page bounds derive the width from the grid's maxima
+  def syntheticGrid(text: String, pageH: Double = 792): CharGrid = {
     var n = 0
     var i = 0
     while (i < text.length) {

@@ -17,8 +17,16 @@ object Bio {
     var lastLabelIdx = -1
     tokens.zipWithIndex.foreach { case (tok, i) =>
       while (li < sorted.length && sorted(li)._2.end <= tok.start) li += 1
+      // OVERLAP, not full containment: the reference tokenizes each
+      // annotation's own slice (utils.py:230-247), so a word straddling an
+      // annotation boundary still yields a B-/I- row there — a containment
+      // test would silently drop any annotation whose boundary falls
+      // mid-token (punctuation-attached tokens are the normal case). For a
+      // pre-tokenized stream, tagging the overlapping token is the
+      // faithful equivalent; offsets are identical whenever annotations
+      // align to token boundaries.
       val tag =
-        if (li < sorted.length && sorted(li)._2.start <= tok.start && tok.end <= sorted(li)._2.end) {
+        if (li < sorted.length && sorted(li)._2.start < tok.end && tok.start < sorted(li)._2.end) {
           val t = if (lastLabelIdx == li) s"I-${sorted(li)._1}" else s"B-${sorted(li)._1}"
           lastLabelIdx = li
           t

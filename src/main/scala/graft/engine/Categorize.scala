@@ -14,7 +14,13 @@ object Categorize {
   def categorizeExpr(textCol: Column, categories: Seq[(String, String)]): Column = {
     val lowered = lower(textCol)
     categories.foldRight(lit("none"): Column) { case ((cat, kw), els) =>
-      when(lowered.contains(kw.toLowerCase), lit(cat)).otherwise(els)
+      // Locale.ROOT so a tr-TR JVM can't fold "I" to dotless ı and
+      // silently stop matching; case-insensitive keyword matching is a
+      // deliberate (documented) widening of the reference, which tests the
+      // RAW fallback name against lowered text
+      // (document_categorization.py:79-82) and so can never match an
+      // uppercase keyword at all
+      when(lowered.contains(kw.toLowerCase(java.util.Locale.ROOT)), lit(cat)).otherwise(els)
     }
   }
 

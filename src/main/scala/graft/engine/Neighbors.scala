@@ -45,7 +45,7 @@ object Neighbors {
     var taken = 0
     while (i >= 0 && taken < n && tokens(i).start >= lineStart) {
       val t = tokens(i)
-      if (t.end <= target.start && t.end >= lineStart) {
+      if (t.end <= target.start) { // t.end >= lineStart is implied by the loop guard (end >= start >= lineStart)
         left += Neighbor(text.substring(t.start, t.end), target.start - t.end)
         taken = taken + 1
       }
