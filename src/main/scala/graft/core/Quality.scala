@@ -63,8 +63,11 @@ object Quality {
     val bigramRepeat =
       if (bigrams.isEmpty) 0.0
       else {
+        // plain top-bigram frequency, same scale as lineRepeat above — a
+        // doubled "ratio" saturated past 1.0 on short texts and penalized
+        // ordinary prose ("to be or not to be" scored 0.8)
         val top = bigrams.groupBy(identity).valuesIterator.map(_.length).max
-        if (top > 1) top.toDouble * 2 / bigrams.length else 0.0
+        if (top > 1) top.toDouble / bigrams.length else 0.0
       }
     val endPunct =
       if (lines.isEmpty) 0.0

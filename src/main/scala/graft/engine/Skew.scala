@@ -16,9 +16,15 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   def withSalt(df: DataFrame, nSalts: Int): DataFrame =
-    // deterministic salt from the row's own content hash, not rand(): keeps
-    // repeated runs identical (resume/debug) while spreading uniformly
-    df.withColumn("__salt", pmod(hash(struct(df.columns.map(col).toIndexedSeq: _*)), lit(nSalts)))
+    // deterministic salt, not rand() (task retries must re-derive the same
+    // salt), but NOT a pure content hash either: identical rows — the
+    // normal case after a projection to the key column, or in duplicate-
+    // heavy crawls — would all hash to ONE salt and the hot key would
+    // collapse back onto a single reducer. monotonically_increasing_id is
+    // derived from (partition id, row position), so it is stable across
+    // retries of a deterministic scan while spreading every row, identical
+    // or not, round-robin over the salts.
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts)))
 
   def saltedRepartition(df: DataFrame, keyCol: String, nSalts: Int, numPartitions: Int): DataFrame =
     withSalt(df, nSalts).repartition(numPartitions, col(keyCol), col("__salt")).drop("__salt")
@@ -32,6 +38,9 @@ object Skew {
       nSalts: Int,
       aggs: Seq[(Column, String => Column, String)],
   ): DataFrame = {
+    require(aggs.nonEmpty, "twoPhaseAgg: at least one aggregate required")
+    require(aggs.map(_._3).distinct.size == aggs.size,
+      s"twoPhaseAgg: duplicate output names in ${aggs.map(_._3)}")
     val salted = withSalt(df, nSalts)
       .groupBy(col(keyCol), col("__salt"))
       .agg(aggs.head._1.as(s"__p_${aggs.head._3}"),

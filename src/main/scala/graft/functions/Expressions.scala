@@ -3,9 +3,10 @@ package graft.functions
 import graft.core.Fingerprint
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels callable from generated code (whole-stage codegen emits
@@ -41,6 +42,12 @@ object StringKernels {
   * token-budget aggregations over 10^12 rows.
   */
 case class TokenCount(child: Expression) extends UnaryExpression {
+  // analysis-time type checking — without this a non-string child passes
+  // analysis and dies per-row (ClassCastException) deep inside a stage
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = StringKernels.tokenCount(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,6 +60,10 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   * the shared kernel so dedup scans avoid UDF overhead.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = StringKernels.simhash64(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,9 +77,17 @@ object GraftFunctions {
   def token_count(c: Column): Column = ColumnBridge.column(TokenCount(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 
+  private[functions] def unary(name: String, exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(s"$name expects exactly 1 argument, got ${exprs.length}")
+    exprs.head
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("graft_token_count", exprs => TokenCount(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction("graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_token_count",
+      exprs => TokenCount(unary("graft_token_count", exprs)), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(unary("graft_simhash64", exprs)), "built-in")
   }
 }

@@ -15,10 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
-      exprs => TokenCount(exprs.head)))
+      exprs => TokenCount(GraftFunctions.unary("graft_token_count", exprs))))
     e.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      exprs => SimHash64(exprs.head)))
+      exprs => SimHash64(GraftFunctions.unary("graft_simhash64", exprs))))
   }
 }

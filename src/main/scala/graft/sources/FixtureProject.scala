@@ -61,13 +61,17 @@ object FixtureProject {
     val bbox =
       try {
         val entry = zf.getEntry("bbox.json5")
+        // explicit context beats the NPE getInputStream(null) would throw
+        require(entry != null, s"$dir/bbox.zip has no bbox.json5 entry")
         obj(parse(new String(zf.getInputStream(entry).readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)))
       } finally zf.close()
     val rows = bbox.toVector.map { case (k, v) => (k.toInt, obj(v)) }.sortBy(_._1)
     Ingest.CharBoxPayload(
       offsets = rows.map(_._1).toArray,
-      chars = rows.map(r => str(r._2("text")).charAt(0)).mkString,
+      // an empty box "text" (an OCR blank) maps to a space — exempt from
+      // the char-identity rule, instead of StringIndexOutOfBounds
+      chars = rows.map(r => str(r._2("text")).headOption.getOrElse(' ')).mkString,
       pageNumbers = rows.map(r => int(r._2("page_number"))).toArray,
       lineNumbers = rows.map(r => int(r._2("line_number"))).toArray,
       x0 = rows.map(r => num(r._2("x0"))).toArray,

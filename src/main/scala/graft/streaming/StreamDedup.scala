@@ -31,7 +31,11 @@ object StreamDedup {
           if (state.exists) Iterator.empty // hash already emitted in a previous batch
           else {
             state.update(true)
-            rows.take(1) // first arrival within this batch wins; rest are dups
+            // within-batch winner must be DETERMINISTIC: shuffle-read order
+            // varies across task retries, so "first in iterator order"
+            // could emit different payloads on a retry than a sink already
+            // saw — pick min(id), the same keeper rule as batch dedupExact
+            Iterator.single(rows.minBy(_.id))
           }
       }
   }
@@ -84,7 +88,12 @@ object StreamDedup {
               Fingerprint.estimatedJaccard(sig, mSig) >= threshold
             }
             out += NearDupVerdict(id, hit.isDefined, hit.map(_._1).getOrElse(-1L))
-            if (hit.isEmpty && members.size < maxBucket) members = (id, sig) :: members
+            // flagged near-dups join the state too (subject to the cap):
+            // the batch operator's connectivity clustering catches chains
+            // A~B, B~C even when A!~C, so a later C arriving after flagged
+            // B must still be comparable against B, not only against the
+            // surviving A
+            if (members.size < maxBucket) members = (id, sig) :: members
           }
           state.update(members)
           out.result().iterator

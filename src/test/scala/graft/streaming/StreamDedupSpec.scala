@@ -53,10 +53,12 @@ class StreamDedupSpec extends AnyFunSuite {
       val got = spark.table(qname).as[StreamDedup.NearDupVerdict].collect()
         .groupBy(_.id).view.mapValues(_.exists(_.is_near_dup)).toMap
       assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
-      // the exact copy matched the original in every flagged band
+      // the exact copy matches a STORED member: the original (1) or the
+      // flagged near-copy (3) — flagged docs join the state too so
+      // near-dup chains A~B, B~C suppress C even when A!~C
       val matched4 = spark.table(qname).as[StreamDedup.NearDupVerdict].collect()
         .filter(v => v.id == 4 && v.is_near_dup).map(_.matched_id).toSet
-      assert(matched4 == Set(1L))
+      assert(matched4.nonEmpty && matched4.subsetOf(Set(1L, 3L)), s"matched $matched4")
     } finally query.stop()
   }
 }
