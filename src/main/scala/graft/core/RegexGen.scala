@@ -188,11 +188,30 @@ object RegexGen {
       regex: String,
       labelId: Long,
       groundTruth: Seq[(Long, Span)], // (annotationId, span) for this label
+  ): RegexDocEval =
+    evaluateRegexOnDoc(text, regex,
+      try Some(CompiledPattern.compile(regex)) catch { case _: Exception => None },
+      labelId, groundTruth)
+
+  /** Pre-compiled variant — the R7 stage evaluates the same candidate bank
+    * against every document, so callers compile the bank ONCE per partition
+    * instead of paying a Python-dialect rewrite + Pattern.compile per
+    * (doc, candidate) pair.
+    */
+  def evaluateRegexOnDoc(
+      text: String,
+      regex: String,
+      compiled: Option[CompiledPattern],
+      labelId: Long,
+      groundTruth: Seq[(Long, Span)],
   ): RegexDocEval = {
     val t0 = System.nanoTime()
-    val findings =
-      try Rx.matches(text, CompiledPattern.compile(regex), keepFullMatch = false, filteredGroup = Some(s"Label_$labelId"))
-      catch { case _: Exception => Vector.empty }
+    val findings = compiled match {
+      case None => Vector.empty
+      case Some(cp) =>
+        try Rx.matches(text, cp, keepFullMatch = false, filteredGroup = Some(s"Label_$labelId"))
+        catch { case _: Exception => Vector.empty }
+    }
     val runtime = (System.nanoTime() - t0) / 1000000
     val gtBySpan = groundTruth.groupBy(_._2)
     val correct = findings.flatMap(f => gtBySpan.getOrElse(Span(f.start, f.end), Nil))

@@ -26,6 +26,33 @@ object Similarity {
     if (d == 0) 0.0 else dot(a, b) / d
   }
 
+  /** Nearest centroid by squared L2 — THE cell-assignment rule. One shared
+    * definition: index build (AnnIndexJob), query-time probing (ivfTopK)
+    * and k-means assignment must agree byte-for-byte or the partitioned
+    * index desynchronizes from probing.
+    */
+  def nearestCell(v: Array[Float], centers: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - ctr(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cosine with both norms precomputed — the ANN hot loops score one row
+    * against many queries (and one query against many rows), so norms are
+    * hoisted instead of recomputed per pair (3× the necessary flops).
+    */
+  @inline def cosineWithNorms(a: Array[Float], an: Double, b: Array[Float], bn: Double): Double = {
+    val d = an * bn
+    if (d == 0) 0.0 else dot(a, b) / d
+  }
+
   // Fixed random hyperplanes (splitmix64 stream, seeded) — identical on
   // every executor without broadcast. Distinct seeds give independent LSH
   // tables (the banded multi-table trick that keeps near-dup recall high
@@ -77,13 +104,15 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(queries)
     val partial = corpus.mapPartitions { it =>
       val qs = bc.value
+      val qNorms = qs.map(q => norm(q._2)) // once per partition, not per row
       // per-query bounded heaps (min-heap on (cosine, -id) so worst is on top)
       val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
         Ordering.by { case (c, id) => (-c, id) }))
       it.foreach { case (id, v) =>
+        val vn = norm(v) // once per row, not per (row, query)
         var qi = 0
         while (qi < qs.length) {
-          val c = cosine(qs(qi)._2, v)
+          val c = cosineWithNorms(qs(qi)._2, qNorms(qi), v, vn)
           val h = heaps(qi)
           if (h.size < k) h.enqueue((c, id))
           else if (c > h.head._1 || (c == h.head._1 && id < h.head._2)) { h.dequeue(); h.enqueue((c, id)) }
@@ -204,27 +233,24 @@ object Similarity {
     val partial = corpus.mapPartitions { it =>
       val cs = bcCenters.value
       val pm = bcProbes.value
-      def cell(v: Array[Float]): Int = {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
+      def cell(v: Array[Float]): Int = nearestCell(v, cs)
+      val pmN = pm.map { case (kk, qsArr) =>
+        kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
       }
       it.flatMap { case (id, v) =>
-        pm.get(cell(v)) match {
-          case Some(qs) => qs.iterator.map { case (qid, qv) => (qid, id, cosine(qv, v)) }
+        pmN.get(cell(v)) match {
+          case Some(qs) =>
+            val vn = norm(v)
+            qs.iterator.map { case (qid, qv, qn) => (qid, id, cosineWithNorms(qv, qn, v, vn)) }
           case None => Iterator.empty
         }
       }
     }
+    // no dropDuplicates: each corpus row lives in exactly ONE cell and a
+    // query probes each cell at most once, so (query, neighbor) pairs are
+    // already unique — deduplicating would add a full extra shuffle
     val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
     partial.toDF("_1", "_2", "_3")
-      .dropDuplicates("_1", "_2")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
@@ -267,16 +293,23 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(probes)
     val partial = keyed.mapPartitions { it =>
       val pm = bc.value
+      val pmN = pm.map { case (kk, qsArr) =>
+        kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
+      }
       it.flatMap { case (key, id, v) =>
-        pm.get(key) match {
-          case Some(qs) => qs.iterator.map { case (qid, qv) => (qid, id, cosine(qv, v)) }
+        pmN.get(key) match {
+          case Some(qs) =>
+            val vn = norm(v)
+            qs.iterator.map { case (qid, qv, qn) => (qid, id, cosineWithNorms(qv, qn, v, vn)) }
           case None => Iterator.empty
         }
       }
     }
+    // no dropDuplicates: a corpus row emits exactly one bucket key and a
+    // query's probe keys are pairwise distinct, so (query, neighbor) pairs
+    // are already unique — deduplicating would add a full extra shuffle
     val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
     partial.toDF("_1", "_2", "_3")
-      .dropDuplicates("_1", "_2")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))

@@ -30,16 +30,7 @@ object AnnIndexJob {
       .toDF("cell", "centroid")
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/centroids")
     corpus.map { case (id, v) =>
-        val cs = bc.value
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          var d = 0.0; var j = 0
-          while (j < v.length) { val x = v(j) - cs(c)(j); d += x * x; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        (best, id, v)
+        (Similarity.nearestCell(v, bc.value), id, v) // the shared cell rule
       }
       .toDF("cell", "vec_id", "embedding")
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$outDir/cells")

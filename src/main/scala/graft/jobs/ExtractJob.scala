@@ -80,11 +80,22 @@ object ExtractJob {
     if (pending.isEmpty) return Seq.empty
 
     val stageDir = s"$outDir/_stage"
+    // the stage is hashed with THIS nBuckets; resuming with a different
+    // bucket count would read nonexistent stage dirs and silently commit
+    // empty buckets while never extracting the rows hashed past the old
+    // count — record the count and refuse a mismatched resume
+    val metaPath = s"$outDir/_meta_nbuckets"
+    if (pathExists(spark, metaPath)) {
+      val recorded = spark.read.textFile(metaPath).collect().head.trim.toInt
+      require(recorded == nBuckets,
+        s"resume with nBuckets=$nBuckets but the job was started with $recorded")
+    }
     if (!pathExists(spark, s"$stageDir/_SUCCESS")) {
       pages.map(p => (bucketOf(p.url, nBuckets), p))
         .toDF("bucket", "page")
         .select(col("bucket"), col("page.*"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stageDir)
+      Seq(nBuckets.toString).toDS().write.mode(SaveMode.Overwrite).text(metaPath)
     }
 
     val written = Seq.newBuilder[LineageRow]
@@ -114,6 +125,12 @@ object ExtractJob {
       Seq(row).toDS().write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
       written += row
     }
+    // all buckets committed: the stage (a full re-encoded copy of the
+    // input) is dead weight — at the 100-TB target it would permanently
+    // double the output's storage footprint
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stageDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
     written.result()
   }
 
@@ -131,8 +148,14 @@ object ExtractJob {
       .reduceGroups((a, c) => (a._1, a._2 + c._2, a._3 ^ c._3))
       .map { case (b, (_, n, x)) => (b, n, x) }
       .toDF("bucket", "n_rows_data", "checksum_data")
-    lineage.join(recomputed, "bucket")
-      .withColumn("rows_match", col("n_rows") === col("n_rows_data"))
-      .withColumn("checksum_match", col("checksum") === col("checksum_data"))
+    // LEFT join from lineage: a committed bucket whose data directory was
+    // lost or written empty must surface as a mismatch row — an inner join
+    // would silently drop exactly the data-loss case the audit exists for
+    lineage.join(recomputed, Seq("bucket"), "left")
+      .withColumn("rows_match",
+        col("n_rows") === coalesce(col("n_rows_data"), lit(0L)))
+      .withColumn("checksum_match",
+        col("n_rows_data").isNotNull && col("checksum") === col("checksum_data") ||
+          col("n_rows_data").isNull && col("n_rows") === 0)
   }
 }

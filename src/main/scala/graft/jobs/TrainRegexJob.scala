@@ -46,7 +46,12 @@ object TrainRegexJob {
         else Nil
       }
 
-    // R6: dedupe on the stripped matcher — first (best-quality, stable) wins
+    // R6: dedupe on the stripped matcher — first (lowest quality number)
+    // wins, mirroring token_append's first-wins over the W(0)/N(1)/F(2)
+    // append order (data.py:1450-1462, 1473-1481). Note the reference then
+    // SORTS selection by regex_quality DESCENDING (regex.py:112-121) — the
+    // apparent inconsistency is the reference's own and is replicated
+    // exactly in bestRegex.
     val deduped = proposals
       .map(c => (RegexGen.normalizedMatcher(c.regex), c))
       .groupByKey(_._1)
@@ -61,18 +66,24 @@ object TrainRegexJob {
 
     // R7: evaluate the broadcast bank against every document
     val bank = spark.sparkContext.broadcast(deduped)
-    val gtByDoc = annotations.filter(_.labelId == labelId)
+    val gtByDoc = anns.as[Annotation]
       .map(a => (a.docId, (a.annId, a.start, a.end)))
       .groupByKey(_._1).mapGroups((d, it) => (d, it.map(_._2).toArray))
       .collect().toMap
     val gtBc = spark.sparkContext.broadcast(gtByDoc)
     val perDoc: Dataset[RegexGen.RegexDocEval] = docs.mapPartitions { it =>
       val candidates = bank.value
+      // compile the bank ONCE per partition — per (doc, candidate)
+      // compilation multiplied the candidate-bank compile cost by |docs|
+      val compiled = candidates.map(c =>
+        try Some(graft.core.CompiledPattern.compile(c.regex))
+        catch { case _: Exception => None })
       val gt = gtBc.value
       it.flatMap { case (docId, text) =>
         val spans = gt.getOrElse(docId, Array.empty).toIndexedSeq
           .map { case (annId, s, e) => (annId, Span(s, e)) }
-        candidates.iterator.map(c => RegexGen.evaluateRegexOnDoc(text, c.regex, labelId, spans))
+        candidates.indices.iterator.map(i =>
+          RegexGen.evaluateRegexOnDoc(text, candidates(i).regex, compiled(i), labelId, spans))
       }
     }
 
