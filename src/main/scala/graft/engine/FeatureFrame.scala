@@ -240,7 +240,12 @@ object FeatureFrame {
 
     val out = Vector.newBuilder[Row]
     targets.foreach { span =>
-      val tBox = boxOf(span)
+      // on the standard self-featurize path (targets == candidates) the
+      // box is already in candBox — avoid a second envelope scan per target
+      val tBox = {
+        val ti = candIndexOf(span)
+        if (ti >= 0) candBox(ti) else boxOf(span)
+      }
       if (tBox != null) {
         val lineNum = lineOfSpan(span)
         // same-line neighbors: left = candidates ending at-or-before the span
@@ -305,8 +310,10 @@ object FeatureFrame {
               byLine(ln).foreach { ci =>
                 val cb = candBox(ci)
                 if (cb != null) {
-                  val d = Seq(math.abs(tBox.x0 - cb.x0), math.abs(tBox.x0 - cb.x1),
-                    math.abs(tBox.x1 - cb.x0), math.abs(tBox.x1 - cb.x1)).min
+                  // allocation-free min over the four corner gaps
+                  val d = math.min(
+                    math.min(math.abs(tBox.x0 - cb.x0), math.abs(tBox.x0 - cb.x1)),
+                    math.min(math.abs(tBox.x1 - cb.x0), math.abs(tBox.x1 - cb.x1)))
                   acc += Neighbor(d, i * step, ci)
                   n += 1
                 }
@@ -316,8 +323,11 @@ object FeatureFrame {
             }
             acc.result()
           }
-          // the reference appends prev-line candidates reversed after the
-          // same-line nsmallest, then truncates (py:1545-1560)
+          // the reference appends the WHOLE prev-line accumulation reversed
+          // (prev_line_candidates[::-1], py:1533) after the same-line
+          // nsmallest, then truncates — a multi-line probe therefore leads
+          // with the FARTHEST probed line's candidates, and the right probe
+          // is deliberately not reversed (py:1534). Quirk replicated as-is.
           lFinal = (lFinal ++ probe(-1, nLeft - lFinal.length).reverse).take(nLeft)
           rFinal = (rFinal ++ probe(+1, nRight - rFinal.length)).take(nRight)
         }
@@ -327,11 +337,11 @@ object FeatureFrame {
         val f = new Array[Double](w)
         var k = 0
         def put(v: Double): Unit = { f(k) = v; k += 1 }
-        val s = text.substring(span.start, span.end)
+        val s = text.substring(span.start, math.min(span.end, text.length))
         val targetIdx = candIndexOf(span)
         (if (targetIdx >= 0) featOfCand(targetIdx) else Features.convertToFeat(s)).foreach(put)
         put(tBox.x0); put(tBox.y0); put(tBox.x1); put(tBox.y1)
-        put(tBox.page); put(tBox.x0 * tBox.y0)
+        put(tBox.page); put(tBox.quadrantTwoArea)
         lFinal.foreach(nb => put(nb.dist))
         if (acrossLines) lFinal.foreach(nb => put(nb.pos))
         rFinal.foreach(nb => put(nb.dist))

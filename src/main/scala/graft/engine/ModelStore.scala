@@ -20,14 +20,23 @@ object ModelStore {
         s""""hasMultipleTopCandidates":${l.hasMultipleTopCandidates},"multiline":${l.multiline}}"""
     }.mkString("""{"labels":[""", ",", "]}")
 
-  private val labelRe =
-    ("""\{"name":"([^"]*)","dataType":"([^"]*)","threshold":([0-9.Ee+-]+),""" +
-      """"hasMultipleTopCandidates":(true|false),"multiline":(true|false)\}""").r
-
-  def fromJson(json: String): Model =
-    Model(labelRe.findAllMatchIn(json).map { m =>
-      LabelDef(m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toBoolean, m.group(5).toBoolean)
-    }.toVector)
+  /** Real JSON parse (MiniJson handles the escapes esc() writes) — a regex
+    * scraper silently DROPPED labels whose names contain quotes and
+    * returned still-escaped names for backslashes, and corrupt input
+    * yielded an empty model with no diagnostic instead of an error.
+    */
+  def fromJson(json: String): Model = {
+    import MiniJson._
+    val root = obj(parse(json))
+    val labels = arr(root.getOrElse("labels",
+      throw new IllegalArgumentException("model JSON has no 'labels' field")))
+    Model(labels.map { v =>
+      val o = obj(v)
+      def bool(k: String): Boolean = o(k).asInstanceOf[JBool].b
+      LabelDef(str(o("name")), str(o("dataType")), num(o("threshold")),
+        bool("hasMultipleTopCandidates"), bool("multiline"))
+    })
+  }
 
   def save(m: Model, path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson(m))

@@ -29,9 +29,12 @@ object Scorer {
   def isEmailToken(s: String): Boolean =
     s.length >= 5 && s.indexOf('@') >= 0 && s.indexOf('.') >= 0 && emailRe.matcher(s).matches()
 
-  /** The scorer's url-token shape (same sharing contract). */
+  /** The scorer's url-token shape (same sharing contract). The length
+    * floor is the shortest VALID www form ("www.x", 5 chars) — the
+    * http:// forms are longer and the regex enforces their shape.
+    */
   def isUrlToken(s: String): Boolean = {
-    if (s.length < 7) return false
+    if (s.length < 5) return false
     val c0 = s.charAt(0)
     (c0 == 'h' || c0 == 'w') &&
       (s.startsWith("http://") || s.startsWith("https://") || s.startsWith("www.")) &&
@@ -72,7 +75,7 @@ object Scorer {
         return Some(Scored(Span(start, end), "email", sigmoid(4.0 + 0.05 * len), s.toLowerCase))
     }
     val c0 = text.charAt(start)
-    if ((c0 == 'h' || c0 == 'w') && len >= 7 &&
+    if ((c0 == 'h' || c0 == 'w') && len >= 5 &&
         (text.regionMatches(start, "http://", 0, 7) || text.regionMatches(start, "https://", 0, 8) ||
           text.regionMatches(start, "www.", 0, 4))) {
       val s = text.substring(start, end)

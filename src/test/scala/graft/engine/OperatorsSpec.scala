@@ -64,6 +64,14 @@ class OperatorsSpec extends AnyFunSuite {
     ModelStore.save(ModelStore.default, path)
     val loaded = ModelStore.load(path)
     assert(loaded == ModelStore.default)
+    // names carrying JSON-special characters must round-trip EXACTLY (a
+    // regex scraper dropped quoted names and kept backslashes escaped)
+    val tricky = ModelStore.Model(Vector(
+      LabelDef("total \"net\"", "Number", 0.2, hasMultipleTopCandidates = false, multiline = false),
+      LabelDef("a\\b\nnewline", "Text", 0.1, hasMultipleTopCandidates = true, multiline = true)))
+    assert(ModelStore.fromJson(ModelStore.toJson(tricky)) == tricky)
+    intercept[Exception](ModelStore.fromJson("""{"nope":1}"""))
+    intercept[Exception](ModelStore.fromJson("not json at all"))
   }
 
   test("regex induction learns a covering regex bank") {
