@@ -103,6 +103,7 @@ object Html {
 
     /** Append a [from,to) slice of `t` — no substring allocation. */
     def appendRange(t: String, from: Int, to: Int, inLink: Boolean, src: Int, srcTo: Int): Unit = {
+      val before = sb.length
       var i = from
       while (i < to) {
         val c = t.charAt(i)
@@ -114,7 +115,9 @@ object Html {
         }
         i += 1
       }
-      if (sb.nonEmpty) {
+      // provenance only advances when this segment actually contributed
+      // characters — whitespace-only segments must not inflate the span
+      if (sb.length > before) {
         if (srcStart < 0) srcStart = src
         srcEnd = srcTo
       }
@@ -153,7 +156,19 @@ object Html {
           val e = html.indexOf('>', i)
           i = if (e < 0) n else e + 1
         } else {
-          val close = html.indexOf('>', i)
+          // quote-aware tag-end scan: a '>' inside a quoted attribute value
+          // ("width > height", embedded JSON) must not truncate the tag and
+          // leak the attribute tail into extracted text
+          var close = -1
+          var quote = 0.toChar
+          var scan = i + 1
+          while (scan < n && close < 0) {
+            val ch = html.charAt(scan)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') close = scan
+            scan += 1
+          }
           if (close < 0) { i = n }
           else {
             // tag name without materializing the attribute body: only isEnd
@@ -175,7 +190,13 @@ object Html {
               q += 1
             }
             val name = nb.toString
-            if (rawTextTags.contains(name) && !isEnd) {
+            // self-closing raw-text syntax (<svg .../>) must not open a
+            // raw-text consumption that swallows content to the close tag
+            // or EOF (honored for foreign content like svg; for script the
+            // HTML5 parser would treat it as open, but eating the document
+            // is strictly worse for an extractor — deliberate divergence)
+            val selfClosing = close > i + 1 && html.charAt(close - 1) == '/'
+            if (rawTextTags.contains(name) && !isEnd && !selfClosing) {
               // consume raw text until matching close tag — case-insensitive:
               // legacy pages close with </SCRIPT>/</STYLE>, and a
               // case-sensitive search would silently drop the whole rest of
@@ -188,14 +209,19 @@ object Html {
               if (skipSubtreeTags.contains(name)) {
                 if (!isEnd) skipDepth += 1 else if (skipDepth > 0) skipDepth -= 1
               }
+              // HTML5 makes </head> optional: <body> implicitly closes the
+              // head — without this, a page omitting </head> extracts EMPTY
+              if (name == "body" && !isEnd) skipDepth = 0
               if (name == "title") inTitle = !isEnd
               if (name == "a") { if (!isEnd) linkDepth += 1 else if (linkDepth > 0) linkDepth -= 1 }
               if (name == "ul" || name == "ol") { if (!isEnd) listDepth += 1 else if (listDepth > 0) listDepth -= 1 }
               if (blockTags.contains(name)) {
                 flush()
                 // block boundary terminates inline anchors (browser-style
-                // recovery for unclosed <a> in the wild)
-                linkDepth = 0
+                // recovery for unclosed <a> in the wild) — except the
+                // inline voids <br>/<hr>, which do not close anchors in any
+                // browser ('<a>Home<br>Products</a>' stays one link)
+                if (name != "br" && name != "hr") linkDepth = 0
                 if (!isEnd && name.length == 2 && name.charAt(0) == 'h' && name.charAt(1) >= '1' && name.charAt(1) <= '6')
                   cur.headingLevel = name.charAt(1) - '0'
                 cur.inList = listDepth > 0
@@ -208,9 +234,12 @@ object Html {
         val next = html.indexOf('<', i)
         val end = if (next < 0) n else next
         if (skipDepth == 0 && !inTitle) {
-          // zero-copy fast path: segments without entities append in place
-          var amp = html.indexOf('&', i)
-          if (amp < 0 || amp >= end)
+          // zero-copy fast path: segments without entities append in place.
+          // The scan is BOUNDED to this segment — an unbounded indexOf ran
+          // to the document tail per segment, O(n²) on pages without '&'
+          var amp = i
+          while (amp < end && html.charAt(amp) != '&') amp += 1
+          if (amp >= end)
             cur.appendRange(html, i, end, linkDepth > 0, i, end)
           else {
             val decoded = decodeEntities(html.substring(i, end))

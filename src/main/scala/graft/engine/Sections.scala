@@ -42,7 +42,12 @@ object Sections {
         if (text.charAt(i) == '\n' || text.charAt(i) == '\f') ln += 1
         i += 1
       }
-      val nLines = ln + 1
+      // a trailing line break must not mint a phantom empty final line
+      // (an all-zero extra negative per document for the classifier)
+      val nLines =
+        if (text.isEmpty) 1
+        else if (text.last == '\n' || text.last == '\f') ln
+        else ln + 1
       val hot = Array.fill(nLines)(new Array[Double](labelNames.length))
       val counts = new Array[Double](nLines)
       doc.labels.foreach { l =>
@@ -57,7 +62,9 @@ object Sections {
 
   /** Widen a per-line feature frame with the ±n neighbor lines
     * (generate_relative_line_features, information_extraction.py:2202-2235):
-    * prev/next line feature vectors appended in order, zero-filled past the
+    * neighbor line feature vectors appended interleaved as next_1, prev_1,
+    * next_2, prev_2, ... (the assembly order the trained weights bind to —
+    * train and predict share it), zero-filled past the
     * document edges. One shuffle on the doc key.
     */
   def withNeighborFeatures(df: DataFrame, n: Int = 5): DataFrame = {

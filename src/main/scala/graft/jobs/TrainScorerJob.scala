@@ -102,6 +102,7 @@ object TrainScorerJob {
       loss = l / n
       bcW.destroy()
     }
+    bcStats.destroy() // same hygiene as the per-iteration bcW
     Fitted(w, b, mean, scale, loss, iters)
   }
 
@@ -233,6 +234,7 @@ object TrainScorerJob {
       loss = l / nW
       bcW.destroy()
     }
+    bcStats.destroy(); bcCW.destroy() // same hygiene as the per-iteration bcW
     FittedK(classes, w, b, mean, scale, loss, iters)
   }
 

@@ -100,6 +100,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(a.contains("alpha beta") && a.contains("gamma delta"))
   }
 
+  test("omitted </head> (legal HTML5) does not swallow the body") {
+    val html = "<html><head><title>T</title><meta charset=utf-8><body>" +
+      "<p>hello world content words</p>"
+    val text = Html.blocks(html).map(_.text).mkString(" | ")
+    assert(text.contains("hello world content words"))
+    assert(!text.contains("T |"), "title stays out of content")
+  }
+
+  test("self-closing raw-text tags do not swallow following content") {
+    val html = "<svg width=\"16\" height=\"16\"/><p>article text here</p>"
+    val text = Html.blocks(html).map(_.text).mkString(" | ")
+    assert(text.contains("article text here"))
+  }
+
+  test("a '>' inside a quoted attribute does not truncate the tag") {
+    val html = "<img alt=\"width > height\"><p>clean text</p>" +
+      "<div data-cfg='{\"op\":\">\"}'></div><p>more text</p>"
+    val text = Html.blocks(html).map(_.text).mkString(" | ")
+    assert(text.contains("clean text") && text.contains("more text"))
+    assert(!text.contains("height"), "attribute tail must not leak into text")
+    assert(!text.contains("op"), "embedded JSON must not leak into text")
+  }
+
+  test("<br> inside an anchor keeps link accounting (anchors survive inline voids)") {
+    val bs = Html.blocks("<p><a href=x>Home<br>Products</a> and some plain text</p>")
+    // <br> flushes the block but must NOT terminate the anchor: 'Products'
+    // in the next block still counts as link text
+    assert(bs.map(_.linkChars).sum >= "HomeProducts".length)
+  }
+
   test("uppercase raw-text close tags do not swallow the rest of the document") {
     // legacy pages close with </SCRIPT>/</STYLE>; a case-sensitive search
     // for the close tag dropped everything after the script block
