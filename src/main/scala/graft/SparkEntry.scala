@@ -290,19 +290,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q47_ann_ivf" -> ((s, dir) => {
-      // IVF with the quantizer OUT of the query path: the index is built
-      // once per corpus (AnnIndexJob; deterministic local k-means over a
-      // take-ordered sample) and cached — the query plan is a single corpus
-      // scan + probe, no ML stage.
+      // IVF with the quantizer OUT of the query path AND the scale read
+      // path exercised: the index is built once per corpus (AnnIndexJob;
+      // deterministic local k-means over a take-ordered sample), persisted
+      // cell-partitioned, and the query reads `cells/` through
+      // `col("cell").isin(probed)` — parquet partition pruning
+      // (PartitionFilters, asserted in AnnIndexJobSpec) opens only the
+      // nProbe probed cells' files. Identical results to the inline
+      // full-scan path over the same index.
       import s.implicits._
       val corpus = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
       val queries = corpus.filter(_._1 < 10).collect().sortBy(_._1)
-      val index = graft.jobs.AnnIndexJob.cachedIndex(s"$dir/embeddings", corpus)
+      val indexDir = graft.jobs.AnnIndexJob.cachedIndexDir(s"$dir/embeddings", s, corpus)
       // SELF-WITNESS recall@5 vs the exact top-5, like q21
       val exactTop = Similarity.bruteForceTopK(corpus, queries, 5).collect()
         .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
-      val ivf = Similarity.ivfTopK(corpus, queries, 5, index, nProbe = 3).collect()
+      val ivf = graft.jobs.AnnIndexJob.queryIndex(s, indexDir, queries, 5, nProbe = 3).collect()
       val recall = ivf.groupBy(_.query_id).view
         .mapValues(ns => ns.count(n => exactTop(n.query_id).contains(n.neighbor_id)) / 5.0).toMap
       ivf.toVector.sortBy(r => (r.query_id, r.rank))
@@ -638,11 +642,17 @@ object SparkEntry {
             case 1 => if (i % 2 == 0) ":443" else ":80" // scheme default → strip
             case _ => ":8080" // explicit non-default → keep
           }
-          val path = if (i % 11 == 0) "" else s"/Dir${i % 5}/p"
+          val path =
+            if (i % 11 == 0) ""
+            // percent-encoded variants (RFC 3986 §6.2.2.2): %7E decodes to
+            // '~' (unreserved), %2f uppercases to %2F (reserved '/'), %4d
+            // decodes to 'M' — canonical form "/DirN/~user%2FpM"
+            else if (i % 6 == 0) s"/Dir${i % 5}/%7Euser%2fp%4d"
+            else s"/Dir${i % 5}/p"
           val query = (i % 4) match {
             case 0 => ""
             case 1 => "?utm_source=feed&b=2&a=1"
-            case 2 => "?gclid=x"
+            case 2 => "?gclid=x&%75tm_source=y" // %75 = 'u': decode precedes the tracking strip
             case _ => "?z=9&a=1"
           }
           val frag = if (i % 2 == 1) "#frag" else ""
@@ -658,11 +668,19 @@ object SparkEntry {
       // the "eval set"; any doc sharing a word 13-gram with it is flagged
       // (the bench docs flag themselves, and the corpus's planted exact
       // duplicates of them get caught too — the point of the op). The
-      // corpus side never shuffles: bench grams broadcast, one narrow
-      // explode + broadcast semi-join + distinct.
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val bench = docs
-        .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
+      // corpus additionally carries LINE-WRAPPED duplicates of each bench
+      // passage (id + 1e6, tokens re-joined with newlines) — the most
+      // common transformation web text undergoes — caught only because
+      // contaminatedDocs whitespace-normalizes both sides. The corpus side
+      // never shuffles: bench grams broadcast, one narrow explode +
+      // broadcast semi-join + distinct.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val benchSel = col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13
+      val planted = base.filter(benchSel)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 13), "\n").as("text"))
+      val docs = base.unionByName(planted)
+      val bench = base.filter(benchSel)
         .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
       Dedup.contaminatedDocs(docs, "doc_id", "text", bench)
         .orderBy("doc_id") // behind the distinct exchange
@@ -1512,7 +1530,9 @@ object SparkEntry {
         |  CAST(sum(c) AS BIGINT) AS zero_crossings
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
     // q58: the oracle regenerates every 13-gram window and the bench set
-    // independently and joins them exactly — no hashing on either side
+    // independently and joins them exactly — no hashing on either side.
+    // The planted line-wrapped duplicates (id + 1e6) normalize back to the
+    // bench gram, so they are contaminated by construction.
     "q58_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |bench AS (
@@ -1523,6 +1543,9 @@ object SparkEntry {
         |  SELECT doc_id, array_to_string(ws[i : i + 12], ' ') AS gram
         |  FROM d JOIN nums ON i <= len(ws) - 12)
         |SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+        |UNION
+        |SELECT doc_id + 1000000 AS doc_id FROM d
+        |WHERE doc_id % 25 = 0 AND len(ws) >= 13
         |ORDER BY doc_id""".stripMargin,
     // q57: the redacted line has a closed form — email and the two url
     // shapes mask, the (at)-obfuscated and malformed-scheme tokens survive
@@ -1574,16 +1597,19 @@ object SparkEntry {
         |      WHEN 1 THEN CASE WHEN i % 2 = 0 THEN ':443' ELSE ':80' END
         |      ELSE ':8080' END AS port,
         |    CASE WHEN i % 11 = 0 THEN ''
+        |      WHEN i % 6 = 0 THEN '/Dir' || CAST(i % 5 AS VARCHAR) || '/%7Euser%2fp%4d'
         |      ELSE '/Dir' || CAST(i % 5 AS VARCHAR) || '/p' END AS path,
         |    CASE i % 4 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed&b=2&a=1'
-        |      WHEN 2 THEN '?gclid=x' ELSE '?z=9&a=1' END AS query,
+        |      WHEN 2 THEN '?gclid=x&%75tm_source=y' ELSE '?z=9&a=1' END AS query,
         |    CASE WHEN i % 2 = 1 THEN '#frag' ELSE '' END AS frag
         |  FROM d)
         |SELECT i AS doc_id,
         |  scheme || '://' || host || port || path || query || frag AS messy_url,
         |  lower(scheme) || '://' || lower(host)
         |    || CASE WHEN i % 3 = 2 THEN ':8080' ELSE '' END
-        |    || CASE WHEN i % 11 = 0 THEN '/' ELSE path END
+        |    || CASE WHEN i % 11 = 0 THEN '/'
+        |         WHEN i % 6 = 0 THEN '/Dir' || CAST(i % 5 AS VARCHAR) || '/~user%2FpM'
+        |         ELSE path END
         |    || CASE i % 4 WHEN 1 THEN '?a=1&b=2' WHEN 3 THEN '?a=1&z=9' ELSE '' END
         |    AS canon_url,
         |  lower(host) AS canon_host,

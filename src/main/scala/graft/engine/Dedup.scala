@@ -61,7 +61,11 @@ object Dedup {
     import spark.implicits._
     df.select(col(urlCol).cast("string").as("u"), col(idCol).cast("long").as("id"))
       .as[(String, Long)]
-      .mapPartitions(_.map { case (u, id) => (graft.core.UrlOps.canonicalize(u), id) })
+      // crawl corpora routinely carry null/missing urls — they group under
+      // the empty key rather than NPE-ing the task
+      .mapPartitions(_.map { case (u, id) =>
+        (if (u == null) "" else graft.core.UrlOps.canonicalize(u), id)
+      })
       .toDF("canon_url", "id")
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_docs"), min("id").as("keeper_id"))
@@ -82,10 +86,16 @@ object Dedup {
     * (transform/sequence/slice, codegen-resident) and a broadcast
     * left-semi join. Exact string n-grams, no hashing — zero false
     * positives by construction.
+    *
+    * Both sides are whitespace-normalized first (`\s+` → one space,
+    * trimmed): a benchmark passage that reappears in the corpus re-wrapped
+    * with newlines — the single most common transformation web text
+    * undergoes — must still form the same 13-grams, per the standard
+    * n-gram decontamination convention (GPT-3 appendix C / PaLM-style).
     */
   def contaminatedDocs(df: DataFrame, idCol: String, textCol: String,
       benchGrams: DataFrame, n: Int = 13): DataFrame = {
-    val ws = split(col(textCol), " ")
+    val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
     val grams = df.select(
       col(idCol),
       explode(
@@ -93,8 +103,11 @@ object Dedup {
           transform(sequence(lit(0), size(ws) - n),
             i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("gram"))
+    val normBench = benchGrams
+      .select(trim(regexp_replace(col("gram"), "\\s+", " ")).as("gram"))
+      .distinct()
     grams
-      .join(broadcast(benchGrams.select(col("gram")).distinct()), Seq("gram"), "left_semi")
+      .join(broadcast(normBench), Seq("gram"), "left_semi")
       .select(idCol).distinct()
   }
 
@@ -113,9 +126,18 @@ object Dedup {
     * A document whose every line is deduplicated away (an exact duplicate
     * of earlier documents) disappears from the output entirely — the
     * CCNet-style reading that a page reduced to pure boilerplate carries
-    * no content. `maxLines` bounds lines per document for the (id, idx)
-    * packing; docs beyond it — or ids outside [0, Long.MaxValue/maxLines)
-    * — fail loudly rather than mis-ordering.
+    * no content.
+    *
+    * ID-RANGE CONTRACT (hard precondition, enforced with `raise_error`):
+    * first-occurrence ordering packs (id, idx) into one long as
+    * `id * maxLines + idx`, so ids must lie in
+    * `[0, Long.MaxValue / maxLines)` and every doc must have fewer than
+    * `maxLines` lines. At the default `maxLines = 1e6` the id ceiling is
+    * ≈ 9.22e12 — adequate for the 1e12-row target corpus but only one
+    * order of magnitude above it. Corpora with synthetic/hashed 64-bit ids
+    * (e.g. xxhash64-derived) WILL exceed it: re-key them first, or lower
+    * `maxLines` to widen the id range. Violations fail the job loudly
+    * rather than silently mis-ordering first occurrences.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxLines: Long = 1000000L): DataFrame = {

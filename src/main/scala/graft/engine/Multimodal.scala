@@ -183,11 +183,12 @@ object Multimodal {
       var i = 12
       var fmtChannels = 0; var fmtRate = 0; var fmtBits = 0
       var dataOff = -1; var dataLen = 0
-      while (i + 8 <= payload.length) {
+      var more = true
+      while (more && i + 8 <= payload.length) {
         val id = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val len = le32(payload, i + 4)
-        // a lying header (negative or truncated chunk length) must reject
-        // the payload, not loop forever or read out of bounds
+        // a lying header (negative chunk length) must reject the payload,
+        // not loop forever or read out of bounds
         if (len < 0) return None
         if (id == "fmt ") {
           if (i + 24 > payload.length) return None
@@ -195,7 +196,13 @@ object Multimodal {
           fmtRate = le32(payload, i + 12)
           fmtBits = le16(payload, i + 22)
         } else if (id == "data") { dataOff = i + 8; dataLen = len }
-        i += 8 + len + (len & 1) // chunks are word-aligned
+        // advance in Long: a corrupt length near Int.MaxValue would wrap
+        // `i + 8 + len` negative, keep the guard true, and read out of
+        // bounds. A chunk running past the payload (truncated final chunk —
+        // common in crawls) ends the walk but keeps what was parsed: the
+        // data read below already clamps to the bytes actually present.
+        val next = i.toLong + 8L + len.toLong + (len & 1)
+        if (next > payload.length.toLong) more = false else i = next.toInt
       }
       if (dataOff < 0 || fmtBits != 16 || fmtChannels < 1) return None
       val frameBytes = 2 * fmtChannels

@@ -72,7 +72,7 @@ object Scorer {
     if (hasAt && hasDot && len >= 5) {
       val s = text.substring(start, end)
       if (isEmailToken(s))
-        return Some(Scored(Span(start, end), "email", sigmoid(4.0 + 0.05 * len), s.toLowerCase))
+        return Some(Scored(Span(start, end), "email", sigmoid(4.0 + 0.05 * len), s.toLowerCase(java.util.Locale.ROOT)))
     }
     val c0 = text.charAt(start)
     if ((c0 == 'h' || c0 == 'w') && len >= 5 &&

@@ -207,6 +207,28 @@ object Similarity {
     * scanned once with no ML stage in the plan (at scale the scan prunes
     * to the probed cells of the partitioned index).
     */
+  /** Which queries probe which cells: each query's `nProbe` nearest
+    * centroids, inverted to cell → queries. Shared by the inline full-scan
+    * path and the partition-pruned indexed path so both probe identically.
+    */
+  def probeAssignments(
+      queries: Array[(Long, Array[Float])],
+      centers: Array[Array[Float]],
+      nProbe: Int): Map[Int, Array[(Long, Array[Float])]] = {
+    val m = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+    queries.foreach { case (qid, qv) =>
+      val dists = centers.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < qv.length) { val x = qv(i) - centers(c)(i); d += x * x; i += 1 }
+        (d, c)
+      }.sorted.take(nProbe)
+      dists.foreach { case (_, c) =>
+        m.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
+      }
+    }
+    m.view.mapValues(_.toArray).toMap
+  }
+
   def ivfTopK(
       corpus: Dataset[(Long, Array[Float])],
       queries: Array[(Long, Array[Float])],
@@ -215,20 +237,7 @@ object Similarity {
     import spark.implicits._
     val centers = index.centroids
     val bcCenters = spark.sparkContext.broadcast(centers)
-    val probes: Map[Int, Array[(Long, Array[Float])]] = {
-      val m = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
-      queries.foreach { case (qid, qv) =>
-        val dists = centers.indices.map { c =>
-          var d = 0.0; var i = 0
-          while (i < qv.length) { val x = qv(i) - centers(c)(i); d += x * x; i += 1 }
-          (d, c)
-        }.sorted.take(nProbe)
-        dists.foreach { case (_, c) =>
-          m.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += ((qid, qv))
-        }
-      }
-      m.view.mapValues(_.toArray).toMap
-    }
+    val probes = probeAssignments(queries, centers, nProbe)
     val bcProbes = spark.sparkContext.broadcast(probes)
     val partial = corpus.mapPartitions { it =>
       val cs = bcCenters.value
@@ -249,6 +258,47 @@ object Similarity {
     // no dropDuplicates: each corpus row lives in exactly ONE cell and a
     // query probes each cell at most once, so (query, neighbor) pairs are
     // already unique — deduplicating would add a full extra shuffle
+    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
+    partial.toDF("_1", "_2", "_3")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
+      .as[Neighbor]
+  }
+
+  /** Score a PRE-PRUNED cell-partitioned index scan: `cells` carries
+    * (cell, vec_id, embedding) rows of the probed cells only (see
+    * [[graft.jobs.AnnIndexJob.queryIndex]], which applies
+    * `col("cell").isin(probed)` so parquet partition pruning skips every
+    * other cell's files). The stored cell id replaces the in-flight
+    * `nearestCell` recompute of the inline path — at scale this is the
+    * whole point of the index: an nProbe-cell query reads nProbe
+    * partitions, not the corpus.
+    */
+  def ivfTopKIndexed(
+      cells: org.apache.spark.sql.DataFrame,
+      queries: Array[(Long, Array[Float])],
+      k: Int, index: IvfIndex, nProbe: Int): Dataset[Neighbor] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val probes = probeAssignments(queries, index.centroids, nProbe)
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val partial = cells
+      .select(col("cell").cast("int"), col("vec_id").cast("long"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val pmN = bcProbes.value.map { case (kk, qsArr) =>
+          kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
+        }
+        it.flatMap { case (cell, id, v) =>
+          pmN.get(cell) match {
+            case Some(qs) =>
+              val vn = norm(v)
+              qs.iterator.map { case (qid, qv, qn) => (qid, id, cosineWithNorms(qv, qn, v, vn)) }
+            case None => Iterator.empty
+          }
+        }
+      }
     val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
     partial.toDF("_1", "_2", "_3")
       .withColumn("rank", row_number().over(w))

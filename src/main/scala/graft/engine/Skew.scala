@@ -15,15 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** PRECONDITION — deterministic input partitions. The salt is
+    * `monotonically_increasing_id` = (partition id, row position), chosen
+    * over rand() (task retries must re-derive the same salt) and over a
+    * pure content hash (identical rows — the normal case after projecting
+    * to the key column, or in duplicate-heavy crawls — would all hash to
+    * ONE salt and the hot key would collapse back onto a single reducer).
+    * Row position is only retry-stable when each input partition's CONTENTS
+    * AND ORDER are deterministic: true for a scan-direct input (file scans
+    * replay identically, and re-reading a live prior exchange's shuffle
+    * files does too), NOT true when the upstream shuffle must itself be
+    * recomputed after executor loss over a nondeterministic order — the
+    * SPARK-23207 class of bug, where a partial retry re-derives different
+    * salts and loses/duplicates rows. Feed this from a scan, or
+    * checkpoint/localCheckpoint the input first, on preemptible executors.
+    */
   def withSalt(df: DataFrame, nSalts: Int): DataFrame =
-    // deterministic salt, not rand() (task retries must re-derive the same
-    // salt), but NOT a pure content hash either: identical rows — the
-    // normal case after a projection to the key column, or in duplicate-
-    // heavy crawls — would all hash to ONE salt and the hot key would
-    // collapse back onto a single reducer. monotonically_increasing_id is
-    // derived from (partition id, row position), so it is stable across
-    // retries of a deterministic scan while spreading every row, identical
-    // or not, round-robin over the salts.
     df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts)))
 
   def saltedRepartition(df: DataFrame, keyCol: String, nSalts: Int, numPartitions: Int): DataFrame =

@@ -45,10 +45,47 @@ object AnnIndexJob {
     Similarity.IvfIndex(rows.map(_._2))
   }
 
+  /** Query the PERSISTED index with partition pruning — the 100-TB read
+    * path: load centroids (KBs), compute each query's probe cells, and scan
+    * `cells/` with `col("cell").isin(probed)`. `cell` is the parquet
+    * partition column, so the filter resolves at planning time
+    * (PartitionFilters in the scan node) and only nProbe cells' files are
+    * ever opened — the difference between reading nProbe/nCells of the
+    * corpus and all of it. Results are identical to the inline full-scan
+    * [[Similarity.ivfTopK]] over the same index: non-probed cells
+    * contribute nothing there either.
+    */
+  def queryIndex(
+      spark: SparkSession,
+      outDir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nProbe: Int): Dataset[Similarity.Neighbor] = {
+    val index = loadCentroids(spark, outDir)
+    val probed = Similarity.probeAssignments(queries, index.centroids, nProbe).keys.toSeq.sorted
+    val cells = spark.read.parquet(s"$outDir/cells")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    Similarity.ivfTopKIndexed(cells, queries, k, index, nProbe)
+  }
+
   // query-surface cache: one quantizer per corpus key per JVM, so repeated
   // queries (bench trials, interactive sessions) never refit
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
 
   def cachedIndex(key: String, corpus: Dataset[(Long, Array[Float])], nCells: Int = 16): Similarity.IvfIndex =
     cache.computeIfAbsent(key, _ => Similarity.buildIvfIndexLocal(corpus, nCells))
+
+  // persisted-layout cache: one on-disk index build per corpus key per JVM;
+  // the value is the index dir. Lives under java.io.tmpdir — a bench/oracle
+  // surface cache, not a production artifact (production calls build()
+  // against a durable path itself).
+  private val builtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def cachedIndexDir(key: String, spark: SparkSession,
+      corpus: Dataset[(Long, Array[Float])], nCells: Int = 16): String =
+    builtDirs.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+      build(spark, corpus, dir, nCells)
+      dir
+    })
 }

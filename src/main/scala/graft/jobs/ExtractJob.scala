@@ -85,17 +85,39 @@ object ExtractJob {
     // empty buckets while never extracting the rows hashed past the old
     // count — record the count and refuse a mismatched resume
     val metaPath = s"$outDir/_meta_nbuckets"
+    val stageDone = pathExists(spark, s"$stageDir/_SUCCESS")
     if (pathExists(spark, metaPath)) {
       val recorded = spark.read.textFile(metaPath).collect().head.trim.toInt
-      require(recorded == nBuckets,
-        s"resume with nBuckets=$nBuckets but the job was started with $recorded")
+      // the guard only binds once work keyed by the recorded count exists
+      // (a completed stage or committed buckets); a crash between the meta
+      // write and staging leaves neither, and a fresh start with a new
+      // count is then legal — the meta below is simply overwritten
+      if (stageDone || done.nonEmpty)
+        require(recorded == nBuckets,
+          s"resume with nBuckets=$nBuckets but the job was started with $recorded")
+    } else if (stageDone) {
+      // meta absent but the stage committed (a layout staged before the
+      // meta-first ordering): derive a lower bound on the original count
+      // from the staged bucket= dirs — a resume with a SMALLER count would
+      // never read the dirs above it, silently dropping their rows
+      val sp = new org.apache.hadoop.fs.Path(stageDir)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = fs.listStatus(sp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+      require(staged.forall(_ < nBuckets),
+        s"resume with nBuckets=$nBuckets but the stage holds bucket dirs up to " +
+          s"${staged.max} — rows above the new count would never be read")
     }
-    if (!pathExists(spark, s"$stageDir/_SUCCESS")) {
+    if (!stageDone) {
+      // meta BEFORE the stage: a crash in the window between stage _SUCCESS
+      // and a trailing meta write would leave a resumable stage with no
+      // recorded bucket count, letting a mismatched-nBuckets resume bypass
+      // the guard and silently commit empty buckets
+      Seq(nBuckets.toString).toDS().write.mode(SaveMode.Overwrite).text(metaPath)
       pages.map(p => (bucketOf(p.url, nBuckets), p))
         .toDF("bucket", "page")
         .select(col("bucket"), col("page.*"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(stageDir)
-      Seq(nBuckets.toString).toDS().write.mode(SaveMode.Overwrite).text(metaPath)
     }
 
     val written = Seq.newBuilder[LineageRow]

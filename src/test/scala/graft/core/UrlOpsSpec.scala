@@ -35,10 +35,30 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(UrlOps.dedupHost("https://ex.com/a") == "ex.com")
   }
 
+  test("percent-encoding normalized (RFC 3986 §6.2.2.2)") {
+    // unreserved escapes decode
+    assert(UrlOps.pctNormalize("%7Efoo") == "~foo")
+    assert(UrlOps.pctNormalize("a%41%62%30%2D%2E%5F") == "aAb0-._")
+    // reserved escapes keep the escape, hex uppercased
+    assert(UrlOps.pctNormalize("a%2fb%3d%26") == "a%2Fb%3D%26")
+    // malformed escapes pass through byte-for-byte
+    assert(UrlOps.pctNormalize("100%") == "100%")
+    assert(UrlOps.pctNormalize("%G1x%2") == "%G1x%2")
+    // applied to path and to query components; decode precedes the
+    // tracking-param strip and the sort
+    assert(UrlOps.canonicalize("https://h.io/%7Euser%2fp%4d") ==
+      "https://h.io/~user%2FpM")
+    assert(UrlOps.canonicalize("https://h.io/p?%75tm_source=x&b=%31") ==
+      "https://h.io/p?b=1")
+    assert(UrlOps.canonicalize("https://h.io/p?%7A=1&a=2") ==
+      "https://h.io/p?a=2&z=1", "decoded key participates in the sort")
+  }
+
   test("idempotent: canonicalize(canonicalize(u)) == canonicalize(u)") {
     val us = Seq(
       "HTTPS://WWW.Example.COM:443/Path/X?utm_source=s&b=2&a=1#f",
-      "http://Host.Org:8080?z=1", "https://h.io", "plain")
+      "http://Host.Org:8080?z=1", "https://h.io", "plain",
+      "https://h.io/%7Ea%2fb?%75tm_source=x&k=%4d%2f")
     us.foreach { u =>
       val c = UrlOps.canonicalize(u)
       assert(UrlOps.canonicalize(c) == c, s"not idempotent for $u")

@@ -55,6 +55,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(1L, 4L))
   }
 
+  test("decontamination catches line-wrapped and whitespace-mangled duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha\nbeta gamma delta", // bench passage re-wrapped with a newline
+      2L -> "x  alpha \t beta\n gamma y", // tabs + runs of spaces around it
+      3L -> "alphabeta gamma zeta", // no token boundary — clean
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma", "wrapped\nbench  gram").toDF("gram")
+    val flagged = Dedup.contaminatedDocs(docs, "id", "text", bench, n = 3)
+      .as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(1L, 2L))
+    // the bench side normalizes too: a wrapped bench gram matches clean text
+    val docs2 = Seq(10L -> "say wrapped bench gram here").toDF("id", "text")
+    val f2 = Dedup.contaminatedDocs(docs2, "id", "text", bench, n = 3)
+      .as[Long].collect()
+    assert(f2.toSeq == Seq(10L))
+  }
+
   test("corpus-wide line dedup keeps each line only at its first occurrence") {
     import spark.implicits._
     val docs = Seq(
@@ -69,6 +87,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(1L) == "SHARED HEADER\nunique one\n\nfooter A")
     assert(out(2L) == "unique two\n")
     assert(out(3L) == "unique three")
+  }
+
+  test("dedupLines id-range contract: boundary id passes, out-of-range fails loudly") {
+    import spark.implicits._
+    val maxLines = 1000000L
+    val maxId = Long.MaxValue / maxLines // ≈ 9.22e12 at the default packing
+    val ok = Seq((maxId - 1) -> "last legal id\nbody").toDF("id", "text")
+    assert(Dedup.dedupLines(ok, "id", "text").count() == 1L)
+    val bad = Seq(maxId -> "first illegal id").toDF("id", "text")
+    val e = intercept[Exception](Dedup.dedupLines(bad, "id", "text").count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packing bounds")), s"unexpected failure: $e")
   }
 
   test("minhash LSH finds exact and near duplicates") {

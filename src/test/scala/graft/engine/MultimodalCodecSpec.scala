@@ -174,4 +174,29 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val truncatedFmt = wav.take(30) // fmt chunk cut short mid-header
     assert(Multimodal.WavCodec.decode(truncatedFmt).isEmpty)
   }
+
+  test("WAV chunk length near Int.MaxValue must not wrap the walk (int overflow)") {
+    // a positive-but-huge length once made `i + 8 + len + (len & 1)` wrap
+    // negative, keeping the loop guard true and reading out of bounds
+    val wav = Multimodal.WavCodec.patternWav(1L, 100)
+    val huge = wav.clone()
+    // data chunk length field at offset 40 → 0x7FFFFFF0 (positive, huge):
+    // the walk must end at the truncated final chunk, and the data read
+    // must clamp to the bytes actually present
+    huge(40) = 0xF0.toByte; huge(41) = 0xFF.toByte
+    huge(42) = 0xFF.toByte; huge(43) = 0x7F.toByte
+    val r = try Multimodal.WavCodec.decode(huge) catch {
+      case e: Throwable => fail(s"decode threw ${e.getClass.getSimpleName}")
+    }
+    assert(r.isDefined && r.get.nSamples == 100, "clamped parse of the real samples")
+    // same wrap planted in a non-data chunk BEFORE data: parse stops there,
+    // no data chunk seen → clean rejection, not a throw
+    val early = wav.clone()
+    early(16) = 0xF0.toByte; early(17) = 0xFF.toByte
+    early(18) = 0xFF.toByte; early(19) = 0x7F.toByte
+    val r2 = try Multimodal.WavCodec.decode(early) catch {
+      case e: Throwable => fail(s"decode threw ${e.getClass.getSimpleName}")
+    }
+    assert(r2.isEmpty)
+  }
 }

@@ -38,6 +38,42 @@ class AnnIndexJobSpec extends AnyFunSuite {
     assert(cells.select("cell").distinct().count() <= 5)
   }
 
+  test("queryIndex prunes to the probed cell partitions and matches the full scan") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_ann_pruned").toString
+    val index = AnnIndexJob.build(spark, corpus, out, nCells = 5)
+    // two queries probing 2 cells each touch at most 4 of the 5 cells —
+    // pruning must have at least one partition to skip
+    val queries = corpus.filter(_._1 < 2).collect().sortBy(_._1)
+    val nProbe = 2
+    val probed = Similarity.probeAssignments(queries, index.centroids, nProbe).keySet
+    assert(probed.size < 5, s"test premise: pruning must have something to skip ($probed)")
+
+    // 1) the scan node must carry a PartitionFilters entry on `cell` — the
+    // pruning is resolved at PLANNING time, not as a post-scan filter
+    val prunedCells = spark.read.parquet(s"$out/cells")
+      .filter(org.apache.spark.sql.functions.col("cell")
+        .isin(probed.toSeq.sorted.map(Integer.valueOf): _*))
+    val plan = prunedCells.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(_.contains("cell")),
+      s"expected the cell isin filter resolved as a PLANNING-time partition filter in:\n$plan")
+    // and NOT re-evaluated per row: the data/pushed filter slots stay empty
+    assert(plan.contains("DataFilters: []") && plan.contains("PushedFilters: []"),
+      s"cell must not appear as a row-level filter in:\n$plan")
+    // and the pruned scan reads strictly fewer rows than the index holds
+    assert(prunedCells.count() < 300)
+
+    // 2) results through the pruned read path equal the inline full scan
+    // over the same index (non-probed cells contribute nothing there)
+    val pruned = AnnIndexJob.queryIndex(spark, out, queries, 4, nProbe).collect()
+      .map(n => (n.query_id, n.rank, n.neighbor_id, math.rint(n.cosine * 1e9))).sorted.toSeq
+    val full = Similarity.ivfTopK(corpus, queries, 4, index, nProbe).collect()
+      .map(n => (n.query_id, n.rank, n.neighbor_id, math.rint(n.cosine * 1e9))).sorted.toSeq
+    assert(pruned == full)
+    assert(pruned.nonEmpty)
+  }
+
   test("prebuilt-index query equals the inline-fit query") {
     import spark.implicits._
     val queries = corpus.filter(_._1 < 5).collect().sortBy(_._1)
