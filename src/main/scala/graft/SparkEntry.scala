@@ -723,6 +723,61 @@ object SparkEntry {
       Dedup.dedupLines(docs, "doc_id", "text")
         .orderBy("doc_id") // behind the reassembly exchange — no double kernel
     }),
+    "q59_llm_pipeline" -> ((s, dir) => {
+      // THE composed pretraining-data pipeline — the LLM-data analog of
+      // the q24 extraction flagship: url-canon dedup → exact dedup →
+      // benchmark decontamination → corpus-wide line dedup → PII
+      // redaction → extraction, chained as ONE plan over the documents
+      // table. The construction plants a deterministic lattice for every
+      // stage: doc i%10==9 carries a url whose canonical form collapses
+      // onto doc i-1 (scheme case + tracking params + host case), docs
+      // i%17==0 share one constant page (exact dups, keeper doc 0), every
+      // 25th doc's original first-13-gram forms the eval set (those docs
+      // leave as contaminated), every page is wrapped in corpus-wide
+      // header/footer boilerplate (line dedup keeps each at its first
+      // surviving occurrence), one unique email per doc is masked by
+      // redaction, and extraction emits sha + token counts the oracle
+      // recomputes byte-exactly. Stage dedup uses keepFirstBy (window
+      // over ONE exchange) so the composed plan stays linear — the
+      // groupBy+semi-join shape would evaluate the upstream chain on both
+      // join sides; here every duplicated branch sits behind a reusable
+      // exchange (ReuseExchange) instead.
+      import s.implicits._
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, text) =>
+          val key = if (i % 10 == 9) i - 1 else i
+          val scheme = if (i % 2 == 0) "HTTPS" else "https"
+          val qs = if (i % 3 == 0) "?utm_source=feed&x=1" else "?x=1"
+          val url = s"$scheme://Site${key % 7}.Example.com/d$key$qs"
+          val page =
+            if (i % 17 == 0)
+              "CORPUS HEADER\nshared duplicate page body here words repeated\n" +
+                "contact dup@dup.com now\nFooter X"
+            else {
+              val body = text.split(' ').grouped(8).map(_.mkString(" ")).mkString("\n")
+              s"CORPUS HEADER\n$body\ncontact user$i@mail${i % 5}.com now\nFooter ${i % 10}"
+            }
+          (i, graft.core.UrlOps.canonicalize(url), page)
+        })
+        .toDF("doc_id", "canon_url", "page_text")
+      val s1 = Dedup.keepFirstBy(pages, "doc_id", col("canon_url"))
+      val s2 = Dedup.keepFirstBy(s1, "doc_id", md5(col("page_text")))
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
+        .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
+      val contaminated = Dedup.contaminatedDocs(s2, "doc_id", "page_text", bench)
+      val clean = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      val deduped = Dedup.dedupLines(clean, "doc_id", "page_text")
+      val redacted = deduped.select(col("doc_id"), col("page_text")).as[(Long, String)]
+        .mapPartitions(_.map { case (i, txt) =>
+          PageRow(i.toString, null, Array.empty[Byte], Redact.redactPII(txt), "")
+        })
+      Extraction.extract(redacted).toDF()
+        .select(col("url").cast("long").as("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("text_sha256"))
+        .orderBy("doc_id")
+    }),
     "q34_geometry" -> ((s, dir) => {
       // §2.13 + S3: rebuild each doc with structure (every 8th token
       // boundary becomes a newline, every 5th a 3-space run), emit the grid
@@ -1583,6 +1638,69 @@ object SparkEntry {
         |  string_agg(line, chr(10) ORDER BY idx) AS text,
         |  CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q59: the oracle replays the ENTIRE composed pipeline — page
+    // construction, the two keep-first dedups (closed forms: url canon
+    // collapses i%10==9 onto i-1, the constant page collapses i%17==0
+    // onto doc 0), the 13-gram decontamination (gram join regenerated
+    // over the page token stream), the corpus-wide line dedup (first
+    // (doc,idx) occurrence rule), the email redaction, and the final
+    // sha256/token-count extraction — independently in SQL
+    "q59_llm_pipeline" ->
+      """WITH d AS (SELECT doc_id AS i, string_split(text, ' ') AS ws FROM documents),
+        |lin AS (
+        |  SELECT i, 0 AS idx, 'CORPUS HEADER' AS line FROM d
+        |  UNION ALL
+        |  SELECT i, CAST(j + 1 AS INT), array_to_string(ws[8*j+1 : 8*j+8], ' ')
+        |  FROM d, range(0, 500) t(j) WHERE 8*j < len(ws) AND i % 17 <> 0
+        |  UNION ALL
+        |  SELECT i, 1, 'shared duplicate page body here words repeated' FROM d WHERE i % 17 = 0
+        |  UNION ALL
+        |  SELECT i,
+        |    CAST(CASE WHEN i % 17 = 0 THEN 2 ELSE CAST(ceil(len(ws) / 8.0) AS INT) + 1 END AS INT),
+        |    CASE WHEN i % 17 = 0 THEN 'contact dup@dup.com now'
+        |      ELSE 'contact user' || CAST(i AS VARCHAR) || '@mail'
+        |        || CAST(i % 5 AS VARCHAR) || '.com now' END
+        |  FROM d
+        |  UNION ALL
+        |  SELECT i,
+        |    CAST(CASE WHEN i % 17 = 0 THEN 3 ELSE CAST(ceil(len(ws) / 8.0) AS INT) + 2 END AS INT),
+        |    CASE WHEN i % 17 = 0 THEN 'Footer X' ELSE 'Footer ' || CAST(i % 10 AS VARCHAR) END
+        |  FROM d),
+        |s2 AS (SELECT i FROM d WHERE i % 10 <> 9 AND (i % 17 <> 0 OR i = 0)),
+        |ptext AS (
+        |  SELECT l.i, string_agg(line, chr(10) ORDER BY idx) AS txt
+        |  FROM lin l JOIN s2 USING (i) GROUP BY l.i),
+        |bench AS (
+        |  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
+        |  FROM d WHERE i % 25 = 0 AND len(ws) >= 13),
+        |ptoks AS (SELECT i,
+        |    list_filter(string_split_regex(txt, '[ \n]'), x -> x <> '') AS pw
+        |  FROM ptext),
+        |contaminated AS (
+        |  SELECT DISTINCT p.i
+        |  FROM ptoks p, range(1, 4000) t(k), bench b
+        |  WHERE k <= len(pw) - 12 AND array_to_string(pw[k : k + 12], ' ') = b.gram),
+        |s3 AS (SELECT i FROM s2 WHERE i NOT IN (SELECT i FROM contaminated)),
+        |slin AS (SELECT l.* FROM lin l JOIN s3 USING (i)),
+        |firsts AS (
+        |  SELECT line, min(i * 1000000 + idx) AS fp FROM slin
+        |  WHERE translate(line, ' ' || chr(9) || chr(13) || chr(12), '') != ''
+        |  GROUP BY line),
+        |kept AS (
+        |  SELECT s.i, s.idx, s.line
+        |  FROM slin s LEFT JOIN firsts f ON s.line = f.line
+        |  WHERE f.fp IS NULL OR f.fp = s.i * 1000000 + s.idx),
+        |red AS (
+        |  SELECT i, replace(string_agg(line, chr(10) ORDER BY idx),
+        |    CASE WHEN i % 17 = 0 THEN 'dup@dup.com'
+        |      ELSE 'user' || CAST(i AS VARCHAR) || '@mail'
+        |        || CAST(i % 5 AS VARCHAR) || '.com' END,
+        |    '<EMAIL>') AS txt
+        |  FROM kept GROUP BY i)
+        |SELECT i AS doc_id,
+        |  CAST(length(list_filter(string_split_regex(txt, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  sha256(txt) AS text_sha256
+        |FROM red ORDER BY doc_id""".stripMargin,
     // q55: both the messy url and its canonical form have closed forms in
     // doc_id, so the oracle validates the UrlOps parser end-to-end without
     // reimplementing it — it just states what the canonical MUST be

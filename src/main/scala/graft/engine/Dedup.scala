@@ -77,6 +77,22 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** Keep the smallest-id row per key, carrying the FULL row through ONE
+    * hash exchange (row_number over the key) — the composition-friendly
+    * dedup shape for chained pipelines. The groupBy + semi-join-back shape
+    * ([[dedupExact]]/[[dedupByUrl]]) evaluates its input on BOTH join sides,
+    * which is free when the input is a re-readable scan but re-executes the
+    * whole upstream chain when the input is itself a pipeline stage; this
+    * window form keeps the plan linear (and its exchange is reusable by
+    * Catalyst's ReuseExchange for any downstream branch). Shuffles full
+    * rows rather than (key, id) pairs — prefer the semi-join form when
+    * deduping a raw scan by a tiny key, this form when composing stages.
+    */
+  def keepFirstBy(df: DataFrame, idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol).cast("long").asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Benchmark decontamination (the standard pre-training hygiene step):
     * flag every document sharing at least one word n-gram (n=13 by
     * convention) with a benchmark/eval text set, so evaluation data can be

@@ -28,6 +28,19 @@ object PlanAudit {
       val exchanges = "Exchange".r.findAllIn(plan).length
       val wsc = "WholeStageCodegen".r.findAllIn(plan).length
       println(s"[audit] $n: exchanges=$exchanges wholestage_spans=$wsc")
+      // SPARK_GRAFT_EXECUTE=1: run the query and report the EXECUTED plan —
+      // under AQE this is where exchange reuse and skew-split decisions
+      // land, which the static explain cannot show
+      if (sys.env.get("SPARK_GRAFT_EXECUTE").contains("1")) {
+        // collect() drives THIS df's queryExecution (count() would spawn a
+        // separate one and leave this adaptive plan unfinalized)
+        df.collect()
+        val ex = df.queryExecution.executedPlan.toString
+        def c(p: String) = p.r.findAllIn(ex).length
+        println(s"[audit-executed] $n: exchanges=${c("Exchange")} " +
+          s"reused_exchanges=${c("ReusedExchange")} reused_shuffles=${c("ShuffleQueryStage")} " +
+          s"skew_joins=${c("skew=true")} bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")}")
+      }
     }
     spark.stop()
   }
