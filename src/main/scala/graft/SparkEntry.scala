@@ -971,8 +971,18 @@ object SparkEntry {
       // a checkpointed file/Kafka sink (PLANS.md).
       import s.implicits._
       val stage = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        stage.resolve("documents.parquet"))
+      // the table may be a single parquet file (driver testdata) or a
+      // Spark-written DIRECTORY of part files (derived scale data) — stage
+      // whichever part files exist, not the bare directory entry
+      val srcP = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      if (java.nio.file.Files.isDirectory(srcP)) {
+        val it = java.nio.file.Files.list(srcP).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val nm = p.getFileName.toString
+          if (nm.endsWith(".parquet")) java.nio.file.Files.copy(p, stage.resolve(nm))
+        }
+      } else java.nio.file.Files.copy(srcP, stage.resolve("documents.parquet"))
       val schema = s.read.parquet(stage.toString).schema
       val stream = s.readStream.schema(schema).parquet(stage.toString)
         .select(col("doc_id"), col("text")).as[(Long, String)]

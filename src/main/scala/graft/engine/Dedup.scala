@@ -133,11 +133,18 @@ object Dedup {
     * pages (headers, footers, nav fragments) survives exactly once.
     * Whitespace-only lines are never deduplicated (they are structure, not
     * content). Entirely built-in Catalyst functions: posexplode → groupBy
-    * on the line (map-side partial min) → join back on the line → ordered
-    * reassembly via sort_array(collect_list(struct(idx, line))) — three
-    * keyed exchanges on the exploded lines (firsts groupBy and the join's
-    * probe side both hash on `line`; reassembly hashes on id), the two
-    * aggregations partial-agg friendly, the join a plain hash join.
+    * on the line (map-side partial min+count, REPEATED lines only kept) →
+    * join back on the line → ordered reassembly via
+    * sort_array(collect_list(struct(idx, line))). Exchanges: the firsts
+    * groupBy and the reassembly (both partial-agg friendly), plus the
+    * join's probe-side hash on `line` — UNLESS `broadcastFirsts` is set,
+    * in which case the repeated-line table broadcasts and the corpus
+    * lines never shuffle for the join at all (two keyed exchanges total,
+    * and reduce-side boilerplate skew structurally cannot occur). Set it
+    * when the repeated-line vocabulary (boilerplate + collisions, NOT the
+    * corpus's full distinct-line set) fits executor memory — the normal
+    * web-corpus case; leave the default SMJ/hash path for adversarial
+    * corpora where even the repeated vocabulary is huge.
     *
     * A document whose every line is deduplicated away (an exact duplicate
     * of earlier documents) disappears from the output entirely — the
@@ -156,7 +163,7 @@ object Dedup {
     * rather than silently mis-ordering first occurrences.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      maxLines: Long = 1000000L): DataFrame = {
+      maxLines: Long = 1000000L, broadcastFirsts: Boolean = false): DataFrame = {
     val id = col(idCol).cast("long")
     val maxId = Long.MaxValue / maxLines
     val lines = df
@@ -171,8 +178,25 @@ object Dedup {
       // strip spaces, treating a tab-indent line as dedupable content)
       .filter(translate(col("line"), " \t\r\f", "") =!= "")
       .groupBy("line")
-      .agg(min("pos").as("first_pos"))
-    lines.join(firsts, Seq("line"), "left")
+      .agg(min("pos").as("first_pos"), count(lit(1)).as("__n"))
+      // only REPEATED lines matter to the join: a unique line trivially
+      // satisfies first_pos == pos, which is exactly the LeftOuter NULL
+      // branch below — filtering count==1 is a pure shrink of the join's
+      // build/probe side (boilerplate vocabulary, not the whole corpus's
+      // distinct-line set) with identical semantics. The aggregation
+      // itself absorbs the hot boilerplate keys map-side (partial min +
+      // partial count). NOTE on the residual join skew: the hot keys are
+      // by definition repeated boilerplate, which compresses 50-100× in
+      // shuffle files — AQE's skew detection measures COMPRESSED partition
+      // bytes, so byte-based skew-split can stay blind to a 5× row-count
+      // skew here (observed; tools/ScaleStress proves it by flipping
+      // spark.shuffle.compress). The scale mitigation is therefore NOT
+      // AQE but `broadcastFirsts`: when the repeated-line vocabulary fits
+      // a broadcast (the normal web-corpus case), the corpus lines never
+      // shuffle on `line` at all and reduce-side skew cannot exist.
+      .filter(col("__n") > 1)
+      .drop("__n")
+    lines.join(if (broadcastFirsts) broadcast(firsts) else firsts, Seq("line"), "left")
       .filter(col("first_pos").isNull || col("first_pos") === col("pos"))
       .groupBy(col("id").as(idCol))
       .agg(

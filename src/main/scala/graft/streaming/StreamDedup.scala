@@ -43,6 +43,55 @@ object StreamDedup {
   final case class Doc(id: Long, text: String)
   final case class NearDupVerdict(id: Long, is_near_dup: Boolean, matched_id: Long)
 
+  final case class DocLine(id: Long, idx: Int, line: String)
+
+  /** Streaming corpus-wide line dedup — the streaming face of
+    * [[graft.engine.Dedup.dedupLines]]: a content line survives only at its
+    * corpus-wide FIRST arrival; later occurrences (same batch or any later
+    * micro-batch) drop. Whitespace-only lines are structure, not content —
+    * they bypass the stateful stage entirely and survive in every document,
+    * exactly the batch rule. Emits the kept (id, idx, line) rows; callers
+    * reassemble documents downstream (foreachBatch with
+    * sort_array(collect_list(struct(idx, line)))) — documents arrive whole
+    * in one batch, so reassembly never spans batches. A document whose
+    * every content line is already seen emits nothing — the batch
+    * operator's disappearing-boilerplate-page semantics.
+    *
+    * Within a batch the winner is deterministic: min (id, idx) packed with
+    * the same `maxLines` rule (and the same loud id-range contract) as the
+    * batch operator — shuffle-read order varies across task retries, so
+    * "first in iterator order" could emit a different occurrence than a
+    * sink already saw. State is one boolean per line, partitioned by the
+    * line key (the same shuffle key as the batch groupBy); a TTL timeout
+    * would bound the store for windowed dedup.
+    */
+  def dedupLinesStream(docs: Dataset[Doc], maxLines: Long = 1000000L): Dataset[DocLine] = {
+    implicit val lineEnc = Encoders.product[DocLine]
+    implicit val boolEnc = Encoders.scalaBoolean
+    val maxId = Long.MaxValue / maxLines
+    val lines = docs.flatMap { d =>
+      val ls = d.text.split("\n", -1)
+      require(d.id >= 0 && d.id < maxId && ls.length <= maxLines,
+        s"dedupLinesStream: (id, idx) outside packing bounds (0 <= id < $maxId, idx < $maxLines)")
+      Iterator.tabulate(ls.length)(ix => DocLine(d.id, ix, ls(ix)))
+    }
+    def isStructure(l: String): Boolean =
+      l.forall(c => c == ' ' || c == '\t' || c == '\r' || c == '\f')
+    val structural = lines.filter(l => isStructure(l.line))
+    val content = lines.filter(l => !isStructure(l.line))
+      .groupByKey(_.line)(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, DocLine](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[DocLine], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => r.id * maxLines + r.idx))
+          }
+      }
+    structural.union(content)
+  }
+
   /** Streaming NEAR-dup suppression — the streaming face of
     * [[graft.engine.Dedup.minhashNearDups]]: each arriving document fans out
     * to its LSH band keys (one row per band, shuffle on the band key); per

@@ -61,4 +61,40 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(matched4.nonEmpty && matched4.subsetOf(Set(1L, 3L)), s"matched $matched4")
     } finally query.stop()
   }
+
+  test("streaming line dedup keeps first arrival per line across batches, parity with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(
+      StreamDedup.Doc(1, "SHARED HEADER\nunique one\n\nfooter A"),
+      StreamDedup.Doc(2, "SHARED HEADER\nunique two\n\nfooter A"))
+    val b2 = Seq(
+      StreamDedup.Doc(3, "unique three\nfooter A\nSHARED HEADER"), // all dups but one
+      StreamDedup.Doc(4, "SHARED HEADER\nunique one")) // every content line seen → vanishes
+    val input = MemoryStream[StreamDedup.Doc]
+    val qname = "stream_linededup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = StreamDedup.dedupLinesStream(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val kept = spark.table(qname).as[StreamDedup.DocLine].collect()
+      val byDoc = kept.groupBy(_.id).view
+        .mapValues(_.sortBy(_.idx).map(_.line).mkString("\n")).toMap
+      // header + footer survive only at their first (id, idx) arrival; the
+      // whitespace-only line is structure and survives everywhere
+      assert(byDoc(1L) == "SHARED HEADER\nunique one\n\nfooter A")
+      assert(byDoc(2L) == "unique two\n")
+      assert(byDoc(3L) == "unique three")
+      assert(!byDoc.contains(4L), "a doc of only seen lines emits nothing")
+      // parity: the BATCH operator over the same corpus (arrival order = id
+      // order here) reassembles to the same per-doc texts
+      val batch = graft.engine.Dedup.dedupLines(
+        (b1 ++ b2).map(d => (d.id, d.text)).toDF("id", "text"), "id", "text")
+        .select("id", "text").as[(Long, String)].collect().toMap
+      assert(batch == byDoc.toMap)
+    } finally query.stop()
+  }
 }
