@@ -716,7 +716,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val body = text.split(" ").grouped(8).map(_.mkString(" ")).mkString("\n")
+          val body = text.split(" ", -1) /* keep trailing empties: DuckDB string_split semantics, or a trailing-space doc diverges from the oracle */ .grouped(8).map(_.mkString(" ")).mkString("\n")
           (id, s"CORPUS HEADER BOILERPLATE\n$body\nFooter ${id % 10}")
         }
         .toDF("doc_id", "text")
@@ -755,7 +755,7 @@ object SparkEntry {
               "CORPUS HEADER\nshared duplicate page body here words repeated\n" +
                 "contact dup@dup.com now\nFooter X"
             else {
-              val body = text.split(' ').grouped(8).map(_.mkString(" ")).mkString("\n")
+              val body = text.split(" ", -1) /* keep trailing empties: DuckDB string_split semantics, or a trailing-space doc diverges from the oracle */ .grouped(8).map(_.mkString(" ")).mkString("\n")
               s"CORPUS HEADER\n$body\ncontact user$i@mail${i % 5}.com now\nFooter ${i % 10}"
             }
           (i, graft.core.UrlOps.canonicalize(url), page)
@@ -976,12 +976,15 @@ object SparkEntry {
       // whichever part files exist, not the bare directory entry
       val srcP = java.nio.file.Paths.get(s"$dir/documents.parquet")
       if (java.nio.file.Files.isDirectory(srcP)) {
-        val it = java.nio.file.Files.list(srcP).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val nm = p.getFileName.toString
-          if (nm.endsWith(".parquet")) java.nio.file.Files.copy(p, stage.resolve(nm))
-        }
+        val listing = java.nio.file.Files.list(srcP)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val nm = p.getFileName.toString
+            if (nm.endsWith(".parquet")) java.nio.file.Files.copy(p, stage.resolve(nm))
+          }
+        } finally listing.close() // the stream holds a directory fd
       } else java.nio.file.Files.copy(srcP, stage.resolve("documents.parquet"))
       val schema = s.read.parquet(stage.toString).schema
       val stream = s.readStream.schema(schema).parquet(stage.toString)

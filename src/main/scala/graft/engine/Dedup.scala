@@ -87,10 +87,17 @@ object Dedup {
     * Catalyst's ReuseExchange for any downstream branch). Shuffles full
     * rows rather than (key, id) pairs — prefer the semi-join form when
     * deduping a raw scan by a tiny key, this form when composing stages.
+    *
+    * NULL keys group TOGETHER (Spark window semantics) and keep one row —
+    * consistent with [[urlGroups]]' null-url → "" keying. Callers who need
+    * null keys treated as distinct must coalesce the key first.
     */
   def keepFirstBy(df: DataFrame, idCol: String, key: org.apache.spark.sql.Column): DataFrame = {
+    val rn = "__graft_keep_first_rn"
+    require(!df.columns.contains(rn),
+      s"keepFirstBy: input already has a $rn column — rename it before deduping")
     val w = Window.partitionBy(key).orderBy(col(idCol).cast("long").asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
   /** Benchmark decontamination (the standard pre-training hygiene step):

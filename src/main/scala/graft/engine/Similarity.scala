@@ -229,6 +229,35 @@ object Similarity {
     m.view.mapValues(_.toArray).toMap
   }
 
+  /** Precompute query norms per probe key — shared by every probe-map
+    * scorer so the scoring inner loop never recomputes them.
+    */
+  private def withQueryNorms[K](pm: Map[K, Array[(Long, Array[Float])]]): Map[K, Array[(Long, Array[Float], Double)]] =
+    pm.map { case (kk, qsArr) =>
+      kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
+    }
+
+  /** Shared ranking tail: (query_id, neighbor_id, cosine) partials →
+    * per-query top-k with the deterministic (cosine desc, neighbor asc)
+    * tie-break. ONE implementation, so the inline, indexed and LSH
+    * surfaces cannot drift apart in ranking semantics.
+    *
+    * No dropDuplicates before the window: every caller guarantees unique
+    * (query, neighbor) pairs by construction (one cell per corpus row /
+    * pairwise-distinct probe keys) — deduplicating would add a full extra
+    * shuffle.
+    */
+  private def rankTopK(partial: Dataset[(Long, Long, Double)], k: Int): Dataset[Neighbor] = {
+    val spark = partial.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
+    partial.toDF("_1", "_2", "_3")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
+      .as[Neighbor]
+  }
+
   def ivfTopK(
       corpus: Dataset[(Long, Array[Float])],
       queries: Array[(Long, Array[Float])],
@@ -241,11 +270,8 @@ object Similarity {
     val bcProbes = spark.sparkContext.broadcast(probes)
     val partial = corpus.mapPartitions { it =>
       val cs = bcCenters.value
-      val pm = bcProbes.value
       def cell(v: Array[Float]): Int = nearestCell(v, cs)
-      val pmN = pm.map { case (kk, qsArr) =>
-        kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
-      }
+      val pmN = withQueryNorms(bcProbes.value)
       it.flatMap { case (id, v) =>
         pmN.get(cell(v)) match {
           case Some(qs) =>
@@ -255,15 +281,7 @@ object Similarity {
         }
       }
     }
-    // no dropDuplicates: each corpus row lives in exactly ONE cell and a
-    // query probes each cell at most once, so (query, neighbor) pairs are
-    // already unique — deduplicating would add a full extra shuffle
-    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
-    partial.toDF("_1", "_2", "_3")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
-      .as[Neighbor]
+    rankTopK(partial, k)
   }
 
   /** Score a PRE-PRUNED cell-partitioned index scan: `cells` carries
@@ -278,18 +296,26 @@ object Similarity {
   def ivfTopKIndexed(
       cells: org.apache.spark.sql.DataFrame,
       queries: Array[(Long, Array[Float])],
-      k: Int, index: IvfIndex, nProbe: Int): Dataset[Neighbor] = {
+      k: Int, index: IvfIndex, nProbe: Int): Dataset[Neighbor] =
+    ivfTopKIndexed(cells, probeAssignments(queries, index.centroids, nProbe), k)
+
+  /** Same, against PRECOMPUTED probe assignments — the overload
+    * [[graft.jobs.AnnIndexJob.queryIndex]] uses so the cell→queries map is
+    * computed exactly once (it also derives the partition-pruning filter
+    * from it; two independent computations could silently diverge).
+    */
+  def ivfTopKIndexed(
+      cells: org.apache.spark.sql.DataFrame,
+      probes: Map[Int, Array[(Long, Array[Float])]],
+      k: Int): Dataset[Neighbor] = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val probes = probeAssignments(queries, index.centroids, nProbe)
     val bcProbes = spark.sparkContext.broadcast(probes)
     val partial = cells
       .select(col("cell").cast("int"), col("vec_id").cast("long"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .mapPartitions { it =>
-        val pmN = bcProbes.value.map { case (kk, qsArr) =>
-          kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
-        }
+        val pmN = withQueryNorms(bcProbes.value)
         it.flatMap { case (cell, id, v) =>
           pmN.get(cell) match {
             case Some(qs) =>
@@ -299,12 +325,7 @@ object Similarity {
           }
         }
       }
-    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
-    partial.toDF("_1", "_2", "_3")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
-      .as[Neighbor]
+    rankTopK(partial, k)
   }
 
   /** LSH-bucketed ANN: corpus bucketed by hyperplane key (one shuffle,
@@ -342,10 +363,7 @@ object Similarity {
     }
     val bc = spark.sparkContext.broadcast(probes)
     val partial = keyed.mapPartitions { it =>
-      val pm = bc.value
-      val pmN = pm.map { case (kk, qsArr) =>
-        kk -> qsArr.map { case (qid, qv) => (qid, qv, norm(qv)) }
-      }
+      val pmN = withQueryNorms(bc.value)
       it.flatMap { case (key, id, v) =>
         pmN.get(key) match {
           case Some(qs) =>
@@ -355,14 +373,6 @@ object Similarity {
         }
       }
     }
-    // no dropDuplicates: a corpus row emits exactly one bucket key and a
-    // query's probe keys are pairwise distinct, so (query, neighbor) pairs
-    // are already unique — deduplicating would add a full extra shuffle
-    val w = Window.partitionBy(col("_1")).orderBy(col("_3").desc, col("_2").asc)
-    partial.toDF("_1", "_2", "_3")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("_1").as("query_id"), col("_2").as("neighbor_id"), col("_3").as("cosine"), col("rank"))
-      .as[Neighbor]
+    rankTopK(partial, k)
   }
 }

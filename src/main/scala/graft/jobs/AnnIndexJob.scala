@@ -62,10 +62,13 @@ object AnnIndexJob {
       k: Int,
       nProbe: Int): Dataset[Similarity.Neighbor] = {
     val index = loadCentroids(spark, outDir)
-    val probed = Similarity.probeAssignments(queries, index.centroids, nProbe).keys.toSeq.sorted
+    // ONE probe computation feeds both the pruning filter and the scorer —
+    // two independent computations could silently diverge
+    val probes = Similarity.probeAssignments(queries, index.centroids, nProbe)
+    val probed = probes.keys.toSeq.sorted
     val cells = spark.read.parquet(s"$outDir/cells")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
-    Similarity.ivfTopKIndexed(cells, queries, k, index, nProbe)
+    Similarity.ivfTopKIndexed(cells, probes, k)
   }
 
   // query-surface cache: one quantizer per corpus key per JVM, so repeated

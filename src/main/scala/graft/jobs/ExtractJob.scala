@@ -97,18 +97,24 @@ object ExtractJob {
           s"resume with nBuckets=$nBuckets but the job was started with $recorded")
     } else if (stageDone) {
       // meta absent but the stage committed (a layout staged before the
-      // meta-first ordering): derive a lower bound on the original count
-      // from the staged bucket= dirs — a resume with a SMALLER count would
-      // never read the dirs above it, silently dropping their rows
+      // meta-first ordering). The staged bucket= dirs only give a LOWER
+      // bound on the original count (trailing empty buckets leave no
+      // dir), so NO nBuckets can be validated here: a smaller count never
+      // reads the dirs above it (row loss), a larger one commits phantom
+      // empty buckets and mislabels output dirs relative to
+      // bucketOf(url, nBuckets). With committed buckets the only safe
+      // move is to refuse; with none, the stage is just a cache — drop it
+      // and restage under the new, recorded count (idempotent).
+      require(done.isEmpty,
+        s"cannot resume: the stage predates bucket-count recording and " +
+          s"${done.size} buckets are already committed — no nBuckets can be " +
+          "validated against it. Finish with the original count or restart " +
+          "into a fresh outDir.")
       val sp = new org.apache.hadoop.fs.Path(stageDir)
-      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staged = fs.listStatus(sp).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
-      require(staged.forall(_ < nBuckets),
-        s"resume with nBuckets=$nBuckets but the stage holds bucket dirs up to " +
-          s"${staged.max} — rows above the new count would never be read")
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
     }
-    if (!stageDone) {
+    val mustStage = !pathExists(spark, s"$stageDir/_SUCCESS")
+    if (mustStage) {
       // meta BEFORE the stage: a crash in the window between stage _SUCCESS
       // and a trailing meta write would leave a resumable stage with no
       // recorded bucket count, letting a mismatched-nBuckets resume bypass

@@ -32,9 +32,11 @@ object PlanAudit {
       // under AQE this is where exchange reuse and skew-split decisions
       // land, which the static explain cannot show
       if (sys.env.get("SPARK_GRAFT_EXECUTE").contains("1")) {
-        // collect() drives THIS df's queryExecution (count() would spawn a
-        // separate one and leave this adaptive plan unfinalized)
-        df.collect()
+        // drive THIS df's queryExecution (a df.count() would spawn a
+        // separate one and leave this adaptive plan unfinalized) WITHOUT
+        // collecting rows to the driver — an un-aggregated query over a
+        // scaled corpus would otherwise OOM the audit
+        df.queryExecution.toRdd.count()
         val ex = df.queryExecution.executedPlan.toString
         def c(p: String) = p.r.findAllIn(ex).length
         println(s"[audit-executed] $n: exchanges=${c("Exchange")} " +

@@ -31,12 +31,13 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scaledata/sf10")
-    // SPARK_GRAFT_SHUFFLE_COMPRESS=false is the controlled experiment for
-    // the compression-blindness claim: AQE skew stats are COMPRESSED
-    // partition bytes, and identical boilerplate lines compress 50-100×,
-    // so a 5× row-count skew can sit below every byte threshold. With
-    // compression off, the same job's hot partition shows its raw size
-    // and the skew-split fires.
+    // SPARK_GRAFT_SHUFFLE_COMPRESS=false: control for the byte-stats
+    // confound — AQE skew stats are COMPRESSED partition bytes, and
+    // identical boilerplate lines compress 50-100×, so a row-count skew
+    // can sit below every byte threshold. Running uncompressed removes
+    // that confound; the round-4 audit showed the dedup join STILL never
+    // skew-splits because of the plan-shape limitation (see main), which
+    // is why the structural fixes in Dedup.dedupLines exist.
     val compress = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -76,10 +77,15 @@ object ScaleStress {
         when(col("id") % 10 === 0, lit(0L)).otherwise(col("id")).as("k"),
         concat(lit("padpadpadpadpadpadpadpadpadpad-"), col("id")).as("v"))
       val right0 = spark.range(0, 100000).select(col("id").as("k"), col("id").as("w"))
-      // mode 2: the right side is a post-shuffle AGGREGATION on the join
-      // key — the dedupLines shape. OptimizeSkewedJoin's pattern demands
-      // Sort(ShuffleQueryStage) children; the final HashAggregate between
-      // them defeats the match, so the rule never even runs.
+      // mode 2 (aggregated right side) was meant to isolate the
+      // dedupLines shape, but Catalyst prunes this particular join
+      // entirely (unique right keys, no referenced columns) — the
+      // plan-shape evidence therefore comes from the REAL dedupLines run:
+      // mode 1 fires OptimizeSkewedJoin ("Optimizing skewed join." +
+      // skew=true in the plan) while the production job at identical conf
+      // never reaches the rule's log line, because its build side is
+      // Sort←HashAggregate←stage and the rule only matches
+      // Sort←ShuffleQueryStage children.
       val right = if (sys.env("SPARK_GRAFT_SKEW_REPRO") == "2")
         right0.groupBy("k").agg(min(col("w")).as("w")) else right0
       val j = left.join(right, Seq("k"), "left").groupBy().agg(count(lit(1)).as("n"))
@@ -99,7 +105,7 @@ object ScaleStress {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val body = text.split(" ").grouped(8).map(_.mkString(" ")).mkString("\n")
+        val body = text.split(" ", -1) /* keep trailing empties: DuckDB string_split semantics, or a trailing-space doc diverges from the oracle */ .grouped(8).map(_.mkString(" ")).mkString("\n")
         (id, s"CORPUS HEADER BOILERPLATE\n$body\nFooter ${id % 10}")
       }
       .toDF("doc_id", "text")

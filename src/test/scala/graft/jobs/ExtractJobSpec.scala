@@ -69,4 +69,44 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(audit.count() == 3)
     assert(audit.filter("NOT rows_match OR NOT checksum_match").count() == 0)
   }
+
+  test("legacy meta-less stage: refuse with committed buckets, restage with none") {
+    def deletePath(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val pages = Extraction.syntheticPages(spark, 60, 2)
+
+    // (a) committed buckets + no meta: NO nBuckets is validatable (the
+    // stage dirs only lower-bound the original count; a larger count would
+    // commit phantom buckets and mislabel output dirs) — must refuse
+    val out = freshDir()
+    intercept[RuntimeException] {
+      ExtractJob.run(spark, pages, out, nBuckets = 4, failAtBucket = Some(2))
+    }
+    deletePath(s"$out/_meta_nbuckets") // simulate the pre-meta layout
+    val e = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, pages, out, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("predates bucket-count recording"))
+    // same original count also refused: the point is it CANNOT be verified
+    val e2 = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, pages, out, nBuckets = 4)
+    }
+    assert(e2.getMessage.contains("predates bucket-count recording"))
+
+    // (b) a meta-less stage with NO committed buckets is just a cache:
+    // dropped and restaged under the new, recorded count — run completes
+    val out2 = freshDir()
+    intercept[RuntimeException] {
+      ExtractJob.run(spark, pages, out2, nBuckets = 4, failAtBucket = Some(0))
+    }
+    deletePath(s"$out2/_meta_nbuckets")
+    deletePath(s"$out2/_lineage")
+    val written = ExtractJob.run(spark, pages, out2, nBuckets = 6)
+    assert(written.map(_.bucket).sorted == (0 until 6))
+    assert(written.map(_.n_rows).sum == 60)
+    val audit2 = ExtractJob.audit(spark, out2)
+    assert(audit2.filter("NOT rows_match OR NOT checksum_match").count() == 0)
+  }
 }
