@@ -89,6 +89,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) == "unique three")
   }
 
+  test("keepFirstBy keeps the min-id row per key; nulls group; working column guarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      (5L, "k1", "e"), (1L, "k1", "a"), (3L, "k2", "c"),
+      (7L, null, "g"), (6L, null, "f"),
+    ).toDF("id", "k", "v")
+    val kept = Dedup.keepFirstBy(df, "id", col("k"))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    // min id per key; null keys group together (documented, consistent
+    // with urlGroups' null → "" keying) and keep their min row
+    assert(kept == Set((1L, "a"), (3L, "c"), (6L, "f")))
+    val clash = df.withColumn("__graft_keep_first_rn", lit(0))
+    val e = intercept[IllegalArgumentException](Dedup.keepFirstBy(clash, "id", col("k")))
+    assert(e.getMessage.contains("__graft_keep_first_rn"))
+  }
+
+  test("dedupLines broadcastFirsts returns identical results to the default join") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "SHARED HEADER\nunique one\n\nfooter A",
+      2L -> "SHARED HEADER\nunique two\n\nfooter A",
+      3L -> "unique three\nfooter A\nSHARED HEADER",
+    ).toDF("id", "text")
+    def res(b: Boolean) = Dedup.dedupLines(docs, "id", "text", broadcastFirsts = b)
+      .select("id", "text", "n_lines_kept").as[(Long, String, Long)].collect().toSet
+    assert(res(true) == res(false))
+    assert(res(true).map(_._1) == Set(1L, 2L, 3L))
+  }
+
   test("dedupLines id-range contract: boundary id passes, out-of-range fails loudly") {
     import spark.implicits._
     val maxLines = 1000000L
