@@ -704,6 +704,31 @@ object SparkEntry {
         .toDF("doc_id", "redacted")
         .sortWithinPartitions(col("doc_id"))
     }),
+    "q60_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality stats (Rae et al. 2021 §A1.1):
+      // duplicate / dominant word-n-gram character masses, the standard
+      // machine-generated-page filter. Repetition is PLANTED per doc (the
+      // first-2-token phrase appended doc_id % 5 times) on top of the
+      // text's natural duplicate n-grams; masses are exact INTEGERS
+      // (count × gram length, division left to the consumer) so the
+      // oracle replays them byte-exactly with no float rounding surface.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(8, col("doc_id"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, text) =>
+          val toks = text.split(" ", -1)
+          val phrase = toks.take(2).mkString(" ")
+          val page = text + (" " + phrase) * (i % 5).toInt
+          val r2 = Quality.repetition(page, 2)
+          val r3 = Quality.repetition(page, 3)
+          (i, r2.dupChars, r2.topChars, r2.totalChars,
+            r3.dupChars, r3.topChars, r3.totalChars)
+        })
+        .toDF("doc_id", "dup2_chars", "top2_chars", "total2_chars",
+          "dup3_chars", "top3_chars", "total3_chars")
+        .sortWithinPartitions("doc_id")
+    }),
     "q56_line_dedup" -> ((s, dir) => {
       // Corpus-wide line dedup (the CCNet/RefinedWeb boilerplate-removal
       // pattern): rebuild each doc as lines of 8 tokens wrapped in planted
@@ -1651,6 +1676,41 @@ object SparkEntry {
         |  string_agg(line, chr(10) ORDER BY idx) AS text,
         |  CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q60: the oracle reconstructs the planted-repetition page and
+    // regenerates every n-gram's (count × length) mass independently —
+    // integer-exact, no float surface
+    "q60_repetition" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |pg AS (SELECT doc_id,
+        |    text || repeat(' ' || array_to_string(ws[1:2], ' '), CAST(doc_id % 5 AS INT)) AS page
+        |  FROM d),
+        |pw AS (SELECT doc_id, string_split(page, ' ') AS pws FROM pg),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |c2 AS (
+        |  SELECT doc_id, gram, count(*) AS c, length(gram) AS l FROM (
+        |    SELECT doc_id, array_to_string(pws[i : i + 1], ' ') AS gram
+        |    FROM pw JOIN nums ON i <= len(pws) - 1) GROUP BY doc_id, gram),
+        |a2 AS (SELECT doc_id,
+        |    sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup2,
+        |    max(c * l) AS top2, sum(c * l) AS tot2
+        |  FROM c2 GROUP BY doc_id),
+        |c3 AS (
+        |  SELECT doc_id, gram, count(*) AS c, length(gram) AS l FROM (
+        |    SELECT doc_id, array_to_string(pws[i : i + 2], ' ') AS gram
+        |    FROM pw JOIN nums ON i <= len(pws) - 2) GROUP BY doc_id, gram),
+        |a3 AS (SELECT doc_id,
+        |    sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup3,
+        |    max(c * l) AS top3, sum(c * l) AS tot3
+        |  FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(dup2, 0) AS BIGINT) AS dup2_chars,
+        |  CAST(COALESCE(top2, 0) AS BIGINT) AS top2_chars,
+        |  CAST(COALESCE(tot2, 0) AS BIGINT) AS total2_chars,
+        |  CAST(COALESCE(dup3, 0) AS BIGINT) AS dup3_chars,
+        |  CAST(COALESCE(top3, 0) AS BIGINT) AS top3_chars,
+        |  CAST(COALESCE(tot3, 0) AS BIGINT) AS total3_chars
+        |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q59: the oracle replays the ENTIRE composed pipeline — page
     // construction, the two keep-first dedups (closed forms: url canon
     // collapses i%10==9 onto i-1, the constant page collapses i%17==0

@@ -92,6 +92,50 @@ object Quality {
     n
   }
 
+  /** Gopher-style repetition statistics over word n-grams — the standard
+    * pretraining quality filter for machine-generated / boilerplate-heavy
+    * pages (Rae et al. 2021 §A1.1 "repetition removal"): documents whose
+    * character mass concentrates in repeated or dominant n-grams are
+    * filtered before training.
+    *
+    * Exact integer character masses, NOT fractions — the division is left
+    * to the caller so the quantities stay integer-exact for byte-level
+    * verification (the house oracle style):
+    *   - `dupChars`  = Σ over n-grams occurring ≥ 2 times of count·len(gram)
+    *   - `topChars`  = max over n-grams of count·len(gram) (the dominant
+    *     n-gram's repeated character mass; ties collapse — the max of the
+    *     products is unique even when several grams attain it)
+    *   - `totalChars`= Σ over ALL n-gram occurrences of count·len(gram)
+    * Gram text = the n tokens joined by one space; tokens = `split(" ", -1)`
+    * (trailing-empty-preserving, the oracle's string_split semantics).
+    * A document with fewer than n tokens has no grams: all three are 0.
+    */
+  final case class Repetition(dupChars: Long, topChars: Long, totalChars: Long)
+
+  def repetition(text: String, n: Int): Repetition = {
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return Repetition(0L, 0L, 0L)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      counts.merge(sb.toString, 1, Integer.sum)
+      i += 1
+    }
+    var dup = 0L; var top = 0L; var total = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mass = e.getValue.toLong * e.getKey.length
+      total += mass
+      if (e.getValue >= 2) dup += mass
+      if (mass > top) top = mass
+    }
+    Repetition(dup, top, total)
+  }
+
   private val bpeish = java.util.regex.Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
 
