@@ -92,6 +92,39 @@ object StreamDedup {
     structural.union(content)
   }
 
+  /** Streaming benchmark decontamination — the streaming face of
+    * [[graft.engine.Dedup.contaminatedDocs]]: the eval set's distinct
+    * n-grams are tiny and STATIC, so they broadcast once and each arriving
+    * document is checked STATELESSLY inside the stream (no
+    * flatMapGroupsWithState, no shuffle — a pure filter, the cheapest
+    * possible streaming operator). Whitespace-normalized on both sides
+    * like the batch op (the gram set passed here should come from the same
+    * normalization — [[graft.engine.Dedup]]'s convention). Emits only the
+    * CLEAN documents; contaminated ones drop.
+    */
+  def decontaminate(docs: Dataset[Doc], benchGrams: Set[String], n: Int = 13): Dataset[Doc] = {
+    implicit val docEnc = Encoders.product[Doc]
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      benchGrams.map(_.trim.replaceAll("\\s+", " ")).filter(_.nonEmpty))
+    docs.mapPartitions { it =>
+      val grams = bc.value
+      it.filter { d =>
+        val toks = d.text.trim.replaceAll("\\s+", " ").split(" ")
+        var contaminated = false
+        var i = 0
+        while (!contaminated && i + n <= toks.length) {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          if (grams.contains(sb.toString)) contaminated = true
+          i += 1
+        }
+        !contaminated
+      }
+    }
+  }
+
   /** Streaming NEAR-dup suppression — the streaming face of
     * [[graft.engine.Dedup.minhashNearDups]]: each arriving document fans out
     * to its LSH band keys (one row per band, shuffle on the band key); per

@@ -62,6 +62,32 @@ class StreamDedupSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming decontamination drops gram-sharing docs, parity with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Set("alpha beta gamma")
+    val docs = Seq(
+      StreamDedup.Doc(1, "alpha beta gamma delta"), // contaminated
+      StreamDedup.Doc(2, "x alpha\nbeta  gamma y"), // wrapped/mangled — still caught
+      StreamDedup.Doc(3, "beta gamma alpha clean"), // same words, different order
+      StreamDedup.Doc(4, "unrelated text entirely"))
+    val input = MemoryStream[StreamDedup.Doc]
+    val qname = "stream_decontam_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = StreamDedup.decontaminate(input.toDS(), bench, n = 3)
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val kept = spark.table(qname).as[StreamDedup.Doc].collect().map(_.id).toSet
+      assert(kept == Set(3L, 4L))
+      // parity: the batch operator flags exactly the complement
+      val flagged = graft.engine.Dedup.contaminatedDocs(
+        docs.map(d => (d.id, d.text)).toDF("id", "text"), "id", "text",
+        bench.toSeq.toDF("gram"), n = 3).as[Long].collect().toSet
+      assert(flagged == Set(1L, 2L))
+    } finally query.stop()
+  }
+
   test("streaming line dedup keeps first arrival per line across batches, parity with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
