@@ -531,7 +531,7 @@ object SparkEntry {
         .repartitionByRange(32, col("doc_id")) // see q24: single kernel execution
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // string_split parity: keep trailing empties
           val sb = new java.lang.StringBuilder(text.length)
           var j = 0
           while (j < toks.length) {
@@ -819,7 +819,7 @@ object SparkEntry {
         .repartitionByRange(32, col("doc_id"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // string_split parity: keep trailing empties
           val sb = new java.lang.StringBuilder(text.length + toks.length * 2)
           var j = 0
           while (j < toks.length) {
@@ -1097,7 +1097,7 @@ object SparkEntry {
         .repartitionByRange(32, col("doc_id")) // see q38: avoid kernel re-execution
         .as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
-          val toks = text.split(' ')
+          val toks = text.split(" ", -1) // string_split parity: keep trailing empties
           val sb = new java.lang.StringBuilder(text.length)
           var j = 0
           while (j < toks.length) {
