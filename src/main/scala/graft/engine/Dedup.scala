@@ -352,16 +352,33 @@ object Dedup {
 
   /** Exact n-gram Jaccard for a pair set — the final verification stage
     * (joins texts back only for surviving candidates).
+    *
+    * The shingle pass runs EXACTLY ONCE: each pair explodes into its two
+    * member rows and joins the shingle dataset on `id` in a single join
+    * (the old two-sided `join(sa).join(sb)` shape evaluated the full
+    * shingle computation once per side); the per-pair regroup then
+    * shuffles only candidate-member rows. When the pair set is small
+    * relative to the corpus (the LSH-verify case) AQE broadcasts the
+    * exploded side, so the corpus-wide shingle stream is filtered
+    * map-side and never shuffles in full.
     */
   def exactJaccard(ds: Dataset[(Long, String)], pairs: Dataset[Pair], k: Int = 3): Dataset[ScoredPair] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val sh = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.shingles(t, k)) })
-    val sa = sh.select(col("_1").as("a"), col("_2").as("sh_a"))
-    val sb = sh.select(col("_1").as("b"), col("_2").as("sh_b"))
-    pairs.toDF().join(sa, "a").join(sb, "b")
+      .select(col("_1").as("id"), col("_2").as("sh"))
+    val sides = pairs.toDF().select(col("a"), col("b"),
+      explode(array(col("a"), col("b"))).as("id"))
+    sides.join(sh, "id")
+      .groupBy("a", "b")
+      .agg(
+        first(when(col("id") === col("a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("id") === col("b"), col("sh")), ignoreNulls = true).as("sh_b"))
+      // a pair whose member is absent from `ds` drops (the old inner-join
+      // semantics) rather than NPE-ing on a null shingle array
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (b, a, shga, shgb) => ScoredPair(a, b, Fingerprint.jaccard(shga, shgb)) }
+      .map { case (a, b, sha, shb) => ScoredPair(a, b, Fingerprint.jaccard(sha, shb)) }
   }
 
   /** Embedding-cosine near-dup pairs via banded multi-table hyperplane LSH
@@ -409,5 +426,112 @@ object Dedup {
       }
       .toDF("a", "b", "cosine")
       .dropDuplicates("a", "b")
+  }
+
+  final case class ClusterResult(assignment: DataFrame, iterations: Int)
+
+  /** Connected-component resolution over a near-duplicate pair graph — the
+    * stage that turns pair emission ([[minhashNearDups]] /
+    * [[simhashNearDups]] / [[embeddingNearDups]]) into an actual
+    * deduplication: transitive chains A~B, B~C collapse onto ONE keeper
+    * (the component's minimum id) even when A and C never formed a pair
+    * themselves, which is exactly the case naive pair-dropping gets wrong
+    * (dropping `b` of every pair would remove BOTH B and C but also leaves
+    * order-dependent survivors when chains overlap).
+    *
+    * Algorithm: the alternating large-star/small-star method (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * every round is two keyed aggregation+join passes over the edge set,
+    * no driver-side graph, converging in O(log² n) rounds (paths/trees
+    * collapse in O(log n); real near-dup graphs are dense cliques and
+    * finish in 2-3):
+    *
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its closed neighborhood;
+    *  - small-star: every node points its smaller neighbors (and itself)
+    *    at the minimum of its smaller neighborhood.
+    *
+    * At the fixed point the edge set is a star per component — (member,
+    * root) for every non-root member — which IS the assignment table.
+    *
+    * EAGER operator: each round `localCheckpoint`s the shrinking edge set
+    * (truncating lineage — an iterative plan would otherwise double per
+    * round) and runs one small aggregation action on the materialized
+    * result for the convergence check (count + order-independent hash-sum
+    * signature; stable signature on a materialized set = stable set).
+    * The edge set is bounded by the candidate-pair output, not the corpus.
+    * Throws `IllegalStateException` if `maxIterations` rounds pass without
+    * a fixed point (the O(log² n) bound makes the default unreachable for
+    * any physical edge set; hitting it means the input is pathological).
+    *
+    * Returns (id, keeper_id) for every node that appears in a pair;
+    * isolated documents never enter the graph and implicitly keep
+    * themselves ([[dedupNear]] relies on that).
+    */
+  def resolveClustersDetailed(pairs: Dataset[Pair], maxIterations: Int = 30): ClusterResult = {
+    def sig(df: DataFrame): (Long, Long) = {
+      // order-independent, overflow-free set signature (ANSI mode makes a
+      // long SUM throw on overflow; XOR of 64-bit hashes cannot)
+      val r = df.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // canonical directed form: (u, v) with u > v, self-pairs dropped
+    var edges = pairs.toDF()
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = sig(edges)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIterations) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMins = sym.groupBy("u").agg(min("v").as("m"))
+      val large = sym.join(largeMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val smallMins = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smallMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = sig(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters: no fixed point after $maxIterations large-star/small-star rounds")
+    val assignment = edges.select(col("u").as("id"), col("v").as("keeper_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("keeper_id")).distinct())
+    ClusterResult(assignment, iter)
+  }
+
+  /** [[resolveClustersDetailed]] without the round count. */
+  def resolveClusters(pairs: Dataset[Pair], maxIterations: Int = 30): DataFrame =
+    resolveClustersDetailed(pairs, maxIterations).assignment
+
+  /** Near-duplicate DEDUPLICATION: collapse the pair graph to connected
+    * components ([[resolveClusters]]) and keep only each component's
+    * minimum-id keeper — the callable `dedupNear(df, pairs)` a pretraining
+    * pipeline chains after candidate generation + verification. The
+    * non-keeper table is (component-member count − component count) ids —
+    * for web corpora a large fraction of the corpus, so the anti-join is
+    * a keyed shuffle on `idCol` (NOT a broadcast; AQE still broadcasts it
+    * when the graph turns out small). Isolated documents never enter the
+    * graph and pass through untouched.
+    */
+  def dedupNear(df: DataFrame, idCol: String, pairs: Dataset[Pair],
+      maxIterations: Int = 30): DataFrame = {
+    val nonKeepers = resolveClusters(pairs, maxIterations)
+      .filter(col("id") =!= col("keeper_id"))
+      .select(col("id").as(idCol))
+    df.join(nonKeepers, Seq(idCol), "left_anti")
   }
 }

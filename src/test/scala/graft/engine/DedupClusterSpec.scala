@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-component cluster resolution over near-dup pair graphs
+  * (Dedup.resolveClusters / dedupNear): transitive chains, cross-cluster
+  * merges, the alternating-algorithm convergence bound, and the anti-join
+  * keeper semantics.
+  */
+class DedupClusterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def pairsOf(ps: (Long, Long)*) = {
+    import spark.implicits._
+    ps.map { case (a, b) => Dedup.Pair(a, b) }.toDS()
+  }
+
+  private def assignmentMap(ps: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.resolveClusters(pairsOf(ps: _*))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("transitive chain A~B~C collapses to one keeper without an A~C pair") {
+    val m = assignmentMap((10L, 11L), (11L, 12L))
+    assert(m == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("disjoint components keep separate minima; pair order/direction is irrelevant") {
+    val m = assignmentMap((5L, 3L), (3L, 9L), (20L, 21L), (22L, 21L))
+    assert(m == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("cross edge merges two chains into one component") {
+    // chain 1: 1-2-3, chain 2: 7-8-9, bridge 3~7
+    val m = assignmentMap((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L), (3L, 7L))
+    assert(m.values.toSet == Set(1L))
+    assert(m.keySet == Set(1L, 2L, 3L, 7L, 8L, 9L))
+  }
+
+  test("self-pairs and duplicate pairs are inert; empty graph returns empty assignment") {
+    val m = assignmentMap((4L, 4L), (1L, 2L), (2L, 1L), (1L, 2L))
+    assert(m == Map(1L -> 1L, 2L -> 1L))
+    assert(Dedup.resolveClusters(pairsOf()).count() == 0L)
+  }
+
+  test("512-node path graph converges within the O(log^2 n) round bound") {
+    // worst case for label propagation (diameter 511 — naive min-label
+    // propagation would need ~511 rounds); the alternating algorithm's
+    // doubling collapses it in O(log^2 n). Assert a concrete bound so a
+    // regression to linear behavior fails loudly rather than slowly.
+    val edges = (0L until 511L).map(i => (i, i + 1))
+    val res = Dedup.resolveClustersDetailed(pairsOf(edges: _*))
+    assert(res.iterations <= 12, s"path-512 took ${res.iterations} rounds")
+    import spark.implicits._
+    val m = res.assignment.as[(Long, Long)].collect().toMap
+    assert(m.size == 512 && m.values.forall(_ == 0L))
+  }
+
+  test("maxIterations is a loud bound, not a silent truncation") {
+    intercept[IllegalStateException] {
+      Dedup.resolveClustersDetailed(pairsOf((0L until 255L).map(i => (i, i + 1)): _*),
+        maxIterations = 1)
+    }
+  }
+
+  test("dedupNear keeps component minima and passes isolated rows through") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components {2,3,4} (chain) and {7,9}; everything else isolated
+    val kept = Dedup.dedupNear(df, "doc_id", pairsOf((2L, 3L), (3L, 4L), (9L, 7L)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L, 6L, 7L, 8L, 10L))
+  }
+}
