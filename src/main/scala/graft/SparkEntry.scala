@@ -729,6 +729,33 @@ object SparkEntry {
           "dup3_chars", "top3_chars", "total3_chars")
         .sortWithinPartitions("doc_id")
     }),
+    "q61_near_components" -> ((s, dir) => {
+      // Near-dup CLUSTER RESOLUTION — the operator that turns pair
+      // emission into an actual dedup: a deterministic pair lattice with
+      // transitive chains of varying length (block b of 7 ids chains its
+      // first (b%6)+1 consecutive edges) and sparse long-range bridges
+      // (block b's node 7b+2 links to block b+3's head when b%11==0, so
+      // two chains must MERGE) feeds resolveClusters; every member must
+      // map to its component's minimum id even where no direct pair
+      // exists (A~B~C with no A~C pair — the case naive pair-dropping
+      // gets wrong). The oracle recomputes the same lattice and its
+      // components independently via a recursive CTE.
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id").cast("long").as("i"))
+      val chain = ids
+        .filter(col("i") % 7 < (expr("i DIV 7") % 6) + 1)
+        .select(col("i").as("a"), (col("i") + 1).as("b"))
+      val cross = ids
+        .filter(col("i") % 7 === 2 && expr("i DIV 7") % 11 === 0)
+        .select(col("i").as("a"), (expr("i DIV 7") * 7 + 21).as("b"))
+      val present = ids.select(col("i").as("b"))
+      val pairs = chain.union(cross).join(present, Seq("b"), "left_semi")
+        .select(col("a"), col("b")) // using-join moves the key first; re-fix order before the positional decode
+        .as[(Long, Long)].map { case (a, b) => Dedup.Pair(a, b) }
+      Dedup.resolveClusters(pairs)
+        .select(col("id").as("doc_id"), col("keeper_id"))
+        .orderBy("doc_id")
+    }),
     "q56_line_dedup" -> ((s, dir) => {
       // Corpus-wide line dedup (the CCNet/RefinedWeb boilerplate-removal
       // pattern): rebuild each doc as lines of 8 tokens wrapped in planted
@@ -1649,6 +1676,30 @@ object SparkEntry {
         |    || CAST(doc_id AS VARCHAR) || ' Ende '
         |    || CAST(doc_id % 100 AS VARCHAR) || ',50' AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q61: the oracle rebuilds the pair lattice and resolves connected
+    // components from first principles — a recursive CTE closes the
+    // reachability relation over the symmetric edge set, then keeper =
+    // min reachable node; transitive chains and cross-block merges come
+    // out right only if the engine's large-star/small-star fixed point
+    // equals true connectivity
+    "q61_near_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+        |e0 AS (
+        |  SELECT i AS a, i + 1 AS b FROM ids
+        |  WHERE (i % 7) < ((i // 7) % 6) + 1
+        |    AND EXISTS (SELECT 1 FROM ids x WHERE x.i = ids.i + 1)
+        |  UNION ALL
+        |  SELECT i AS a, (i // 7) * 7 + 21 AS b FROM ids
+        |  WHERE i % 7 = 2 AND (i // 7) % 11 = 0
+        |    AND EXISTS (SELECT 1 FROM ids x WHERE x.i = (ids.i // 7) * 7 + 21)),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |r(id, k) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.k FROM edges e JOIN r ON e.b = r.id)
+        |SELECT id AS doc_id, min(k) AS keeper_id FROM r GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
     // q56: the oracle rebuilds the same boilerplate-wrapped line corpus and
     // replays the dedup rule (first corpus-wide (doc,idx) occurrence wins;
     // whitespace-only lines exempt) with window-free min aggregation
