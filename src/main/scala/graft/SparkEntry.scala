@@ -778,22 +778,29 @@ object SparkEntry {
     "q59_llm_pipeline" -> ((s, dir) => {
       // THE composed pretraining-data pipeline — the LLM-data analog of
       // the q24 extraction flagship: url-canon dedup → exact dedup →
+      // NEAR-dedup (MinHash-LSH candidates → exact-Jaccard verify →
+      // connected-component cluster resolution → anti-join non-keepers) →
       // benchmark decontamination → corpus-wide line dedup → PII
-      // redaction → extraction, chained as ONE plan over the documents
-      // table. The construction plants a deterministic lattice for every
-      // stage: doc i%10==9 carries a url whose canonical form collapses
-      // onto doc i-1 (scheme case + tracking params + host case), docs
-      // i%17==0 share one constant page (exact dups, keeper doc 0), every
-      // 25th doc's original first-13-gram forms the eval set (those docs
-      // leave as contaminated), every page is wrapped in corpus-wide
-      // header/footer boilerplate (line dedup keeps each at its first
-      // surviving occurrence), one unique email per doc is masked by
-      // redaction, and extraction emits sha + token counts the oracle
-      // recomputes byte-exactly. Stage dedup uses keepFirstBy (window
-      // over ONE exchange) so the composed plan stays linear — the
-      // groupBy+semi-join shape would evaluate the upstream chain on both
-      // join sides; here every duplicated branch sits behind a reusable
-      // exchange (ReuseExchange) instead.
+      // redaction → extraction, chained over the documents table. The
+      // construction plants a deterministic lattice for every stage: doc
+      // i%10==9 carries a url whose canonical form collapses onto doc
+      // i-1 (scheme case + tracking params + host case), docs i%17==0
+      // share one constant page (exact dups, keeper doc 0), docs
+      // i%13∈{1,2,3} (not constant-paged) form per-anchor NEAR-dup
+      // cliques (identical 120-token synthetic body + anchor email,
+      // differing variant/footer lines → pairwise word-3-gram Jaccard
+      // ≈0.94, so the 16×4 banding miss probability is ~3e-11 and the
+      // oracle can replay the exact ≥0.85 pair set all-pairs), every
+      // 25th doc's original first-13-gram forms the eval set, every page
+      // is wrapped in corpus-wide header/footer boilerplate, one email
+      // per doc is masked by redaction, and extraction emits sha + token
+      // counts the oracle recomputes byte-exactly. Stage dedup uses
+      // keepFirstBy (window over ONE exchange) so the composed plan
+      // stays linear; the near-dup stage is inherently ITERATIVE
+      // (connected components), so its input is persisted for the two
+      // signature passes, the tiny resolved non-keeper table is
+      // materialized inside dedupNear, and the downstream chain stays a
+      // single lazy plan with one extra anti-join.
       import s.implicits._
       val pages = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
@@ -806,7 +813,15 @@ object SparkEntry {
             if (i % 17 == 0)
               "CORPUS HEADER\nshared duplicate page body here words repeated\n" +
                 "contact dup@dup.com now\nFooter X"
-            else {
+            else if (i % 13 >= 1 && i % 13 <= 3) {
+              // near-dup clique: anchor a (a%13==1) donates body + email;
+              // members differ only in the variant line and footer digit
+              val a = i - (i % 13) + 1
+              val body = (0 until 120).map(j => s"u${a}x$j")
+                .grouped(8).map(_.mkString(" ")).mkString("\n")
+              s"CORPUS HEADER\n$body\nvariant v${i % 13}\n" +
+                s"contact user$a@mail${a % 5}.com now\nFooter ${i % 10}"
+            } else {
               val body = text.split(" ", -1) /* keep trailing empties: DuckDB string_split semantics, or a trailing-space doc diverges from the oracle */ .grouped(8).map(_.mkString(" ")).mkString("\n")
               s"CORPUS HEADER\n$body\ncontact user$i@mail${i % 5}.com now\nFooter ${i % 10}"
             }
@@ -815,11 +830,24 @@ object SparkEntry {
         .toDF("doc_id", "canon_url", "page_text")
       val s1 = Dedup.keepFirstBy(pages, "doc_id", col("canon_url"))
       val s2 = Dedup.keepFirstBy(s1, "doc_id", md5(col("page_text")))
+      // stage 3: near-dedup. s2 is persisted for the signature/verify
+      // passes and the eager component resolution, then released — the
+      // returned plan re-derives s2 lazily (linear), anti-joined against
+      // the small materialized non-keeper table.
+      s2.persist()
+      val s2text = s2.select(col("doc_id"), col("page_text")).as[(Long, String)]
+      val sigs = Dedup.signatures(s2text).persist()
+      val near = Dedup.exactJaccard(s2text, Dedup.candidatePairs(sigs))
+        .filter(_.estimated_jaccard >= 0.85)
+        .map(p => Dedup.Pair(p.a, p.b))
+      val s3 = Dedup.dedupNear(s2, "doc_id", near) // resolveClusters materializes here
+      sigs.unpersist()
+      s2.unpersist()
       val bench = t(s, dir, "documents")
         .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
         .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
-      val contaminated = Dedup.contaminatedDocs(s2, "doc_id", "page_text", bench)
-      val clean = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      val contaminated = Dedup.contaminatedDocs(s3, "doc_id", "page_text", bench)
+      val clean = s3.join(contaminated, Seq("doc_id"), "left_anti")
       val deduped = Dedup.dedupLines(clean, "doc_id", "page_text")
       val redacted = deduped.select(col("doc_id"), col("page_text")).as[(Long, String)]
         .mapPartitions(_.map { case (i, txt) =>
@@ -1763,48 +1791,93 @@ object SparkEntry {
         |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q59: the oracle replays the ENTIRE composed pipeline — page
-    // construction, the two keep-first dedups (closed forms: url canon
-    // collapses i%10==9 onto i-1, the constant page collapses i%17==0
-    // onto doc 0), the 13-gram decontamination (gram join regenerated
-    // over the page token stream), the corpus-wide line dedup (first
-    // (doc,idx) occurrence rule), the email redaction, and the final
-    // sha256/token-count extraction — independently in SQL
+    // construction (normal / constant / near-dup-clique classes), the
+    // two keep-first dedups (closed forms: url canon collapses i%10==9
+    // onto i-1, the constant page collapses i%17==0 onto doc 0), the
+    // NEAR-dedup stage (all-pairs exact word-3-gram Jaccard over the
+    // reconstructed page texts at ≥0.85, connected components closed by
+    // a recursive CTE, non-keepers dropped), the 13-gram decontamination
+    // (gram join regenerated over the page token stream), the
+    // corpus-wide line dedup (first (doc,idx) occurrence rule), the
+    // email redaction (chain docs carry their ANCHOR's email), and the
+    // final sha256/token-count extraction — independently in SQL. The
+    // capguard CTE makes the fixed range() windows LOUD: a document
+    // longer than the cap errors the oracle instead of silently
+    // desynchronizing from the unbounded engine side.
     "q59_llm_pipeline" ->
-      """WITH d AS (SELECT doc_id AS i, string_split(text, ' ') AS ws FROM documents),
+      """WITH RECURSIVE d AS (SELECT doc_id AS i, string_split(text, ' ') AS ws FROM documents),
+        |capguard AS (SELECT CASE WHEN max(len(ws)) > 3950
+        |    THEN error('q59 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |cls AS (SELECT i, ws,
+        |    CASE WHEN i % 17 = 0 THEN 'C'
+        |      WHEN i % 13 IN (1, 2, 3) THEN 'K' ELSE 'N' END AS c,
+        |    i - (i % 13) + 1 AS anch FROM d),
         |lin AS (
-        |  SELECT i, 0 AS idx, 'CORPUS HEADER' AS line FROM d
+        |  SELECT i, 0 AS idx, 'CORPUS HEADER' AS line FROM cls
         |  UNION ALL
         |  SELECT i, CAST(j + 1 AS INT), array_to_string(ws[8*j+1 : 8*j+8], ' ')
-        |  FROM d, range(0, 500) t(j) WHERE 8*j < len(ws) AND i % 17 <> 0
+        |  FROM cls, range(0, 500) t(j) WHERE 8*j < len(ws) AND c = 'N'
         |  UNION ALL
-        |  SELECT i, 1, 'shared duplicate page body here words repeated' FROM d WHERE i % 17 = 0
+        |  SELECT i, 1, 'shared duplicate page body here words repeated' FROM cls WHERE c = 'C'
+        |  UNION ALL
+        |  SELECT i, CAST(j + 1 AS INT),
+        |    array_to_string(list_transform(range(8*j, 8*j + 8),
+        |      m -> 'u' || CAST(anch AS VARCHAR) || 'x' || CAST(m AS VARCHAR)), ' ')
+        |  FROM cls, range(0, 15) t(j) WHERE c = 'K'
+        |  UNION ALL
+        |  SELECT i, 16, 'variant v' || CAST(i % 13 AS VARCHAR) FROM cls WHERE c = 'K'
         |  UNION ALL
         |  SELECT i,
-        |    CAST(CASE WHEN i % 17 = 0 THEN 2 ELSE CAST(ceil(len(ws) / 8.0) AS INT) + 1 END AS INT),
-        |    CASE WHEN i % 17 = 0 THEN 'contact dup@dup.com now'
+        |    CAST(CASE c WHEN 'C' THEN 2 WHEN 'K' THEN 17
+        |      ELSE CAST(ceil(len(ws) / 8.0) AS INT) + 1 END AS INT),
+        |    CASE c WHEN 'C' THEN 'contact dup@dup.com now'
+        |      WHEN 'K' THEN 'contact user' || CAST(anch AS VARCHAR) || '@mail'
+        |        || CAST(anch % 5 AS VARCHAR) || '.com now'
         |      ELSE 'contact user' || CAST(i AS VARCHAR) || '@mail'
         |        || CAST(i % 5 AS VARCHAR) || '.com now' END
-        |  FROM d
+        |  FROM cls
         |  UNION ALL
         |  SELECT i,
-        |    CAST(CASE WHEN i % 17 = 0 THEN 3 ELSE CAST(ceil(len(ws) / 8.0) AS INT) + 2 END AS INT),
-        |    CASE WHEN i % 17 = 0 THEN 'Footer X' ELSE 'Footer ' || CAST(i % 10 AS VARCHAR) END
-        |  FROM d),
+        |    CAST(CASE c WHEN 'C' THEN 3 WHEN 'K' THEN 18
+        |      ELSE CAST(ceil(len(ws) / 8.0) AS INT) + 2 END AS INT),
+        |    CASE WHEN c = 'C' THEN 'Footer X' ELSE 'Footer ' || CAST(i % 10 AS VARCHAR) END
+        |  FROM cls),
         |s2 AS (SELECT i FROM d WHERE i % 10 <> 9 AND (i % 17 <> 0 OR i = 0)),
         |ptext AS (
         |  SELECT l.i, string_agg(line, chr(10) ORDER BY idx) AS txt
         |  FROM lin l JOIN s2 USING (i) GROUP BY l.i),
+        |wtoks AS (SELECT i,
+        |    list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '') AS wt
+        |  FROM ptext),
+        |wg AS (SELECT DISTINCT i, array_to_string(wt[k : k + 2], ' ') AS gr
+        |  FROM wtoks, range(1, 4000) t(k) WHERE k <= len(wt) - 2),
+        |wcnt AS (SELECT i, count(*) AS n FROM wg GROUP BY 1),
+        |winter AS (SELECT x.i AS a, y.i AS b, count(*) AS ni
+        |  FROM wg x JOIN wg y ON x.gr = y.gr AND x.i < y.i GROUP BY 1, 2),
+        |near AS (SELECT a, b FROM winter
+        |  JOIN wcnt ca ON ca.i = a JOIN wcnt cb ON cb.i = b
+        |  WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.85),
+        |nearedges AS (SELECT a, b FROM near UNION SELECT b AS a, a AS b FROM near),
+        |nearnodes AS (SELECT DISTINCT a AS id FROM nearedges),
+        |reach(id, kk) AS (
+        |  SELECT id, id FROM nearnodes
+        |  UNION
+        |  SELECT e.a, reach.kk FROM nearedges e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id, min(kk) AS keeper FROM reach GROUP BY id),
+        |s2n AS (SELECT i FROM s2
+        |  WHERE i NOT IN (SELECT id FROM comp WHERE id <> keeper)),
         |bench AS (
         |  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
         |  FROM d WHERE i % 25 = 0 AND len(ws) >= 13),
-        |ptoks AS (SELECT i,
+        |ptoks AS (SELECT p.i,
         |    list_filter(string_split_regex(txt, '[ \n]'), x -> x <> '') AS pw
-        |  FROM ptext),
+        |  FROM ptext p JOIN s2n USING (i)),
         |contaminated AS (
         |  SELECT DISTINCT p.i
         |  FROM ptoks p, range(1, 4000) t(k), bench b
         |  WHERE k <= len(pw) - 12 AND array_to_string(pw[k : k + 12], ' ') = b.gram),
-        |s3 AS (SELECT i FROM s2 WHERE i NOT IN (SELECT i FROM contaminated)),
+        |s3 AS (SELECT i FROM s2n WHERE i NOT IN (SELECT i FROM contaminated)),
         |slin AS (SELECT l.* FROM lin l JOIN s3 USING (i)),
         |firsts AS (
         |  SELECT line, min(i * 1000000 + idx) AS fp FROM slin
@@ -1817,6 +1890,8 @@ object SparkEntry {
         |red AS (
         |  SELECT i, replace(string_agg(line, chr(10) ORDER BY idx),
         |    CASE WHEN i % 17 = 0 THEN 'dup@dup.com'
+        |      WHEN i % 13 IN (1, 2, 3) THEN 'user' || CAST(i - (i % 13) + 1 AS VARCHAR)
+        |        || '@mail' || CAST((i - (i % 13) + 1) % 5 AS VARCHAR) || '.com'
         |      ELSE 'user' || CAST(i AS VARCHAR) || '@mail'
         |        || CAST(i % 5 AS VARCHAR) || '.com' END,
         |    '<EMAIL>') AS txt
@@ -1824,7 +1899,7 @@ object SparkEntry {
         |SELECT i AS doc_id,
         |  CAST(length(list_filter(string_split_regex(txt, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
         |  sha256(txt) AS text_sha256
-        |FROM red ORDER BY doc_id""".stripMargin,
+        |FROM red, capguard WHERE capguard.g = 0 ORDER BY doc_id""".stripMargin,
     // q55: both the messy url and its canonical form have closed forms in
     // doc_id, so the oracle validates the UrlOps parser end-to-end without
     // reimplementing it — it just states what the canonical MUST be
