@@ -144,14 +144,28 @@ object Dedup {
     * join back on the line → ordered reassembly via
     * sort_array(collect_list(struct(idx, line))). Exchanges: the firsts
     * groupBy and the reassembly (both partial-agg friendly), plus the
-    * join's probe-side hash on `line` — UNLESS `broadcastFirsts` is set,
-    * in which case the repeated-line table broadcasts and the corpus
-    * lines never shuffle for the join at all (two keyed exchanges total,
-    * and reduce-side boilerplate skew structurally cannot occur). Set it
-    * when the repeated-line vocabulary (boilerplate + collisions, NOT the
-    * corpus's full distinct-line set) fits executor memory — the normal
-    * web-corpus case; leave the default SMJ/hash path for adversarial
-    * corpora where even the repeated vocabulary is huge.
+    * join's probe-side hash on `line` — UNLESS the firsts table
+    * broadcasts, in which case the corpus lines never shuffle for the
+    * join at all (two keyed exchanges total, and reduce-side boilerplate
+    * skew structurally cannot occur). `firstsMode` picks the path:
+    *
+    *  - [[FirstsMode.Auto]] (default): MEASURE the repeated-line
+    *    vocabulary — persist the firsts aggregate, run one small count+
+    *    size action over it, and broadcast when the estimated in-memory
+    *    size fits `broadcastMaxBytes`. This makes the operator eager
+    *    (one action at build time) and leaves the firsts table cached
+    *    for the downstream join; the normal web-corpus case (boilerplate
+    *    vocabulary ≪ corpus) selects broadcast and the skew-prone
+    *    corpus-side shuffle never exists.
+    *  - [[FirstsMode.Broadcast]]: force the broadcast, stay lazy.
+    *  - [[FirstsMode.Shuffle]]: force the SMJ/hash path, stay lazy — for
+    *    adversarial corpora where even the repeated vocabulary is huge.
+    *
+    * Auto exists because AQE cannot rescue this shape at runtime: the
+    * build side is a post-shuffle aggregation on the join key, which
+    * OptimizeSkewedJoin never matches (proven by experiment in
+    * tools/ScaleStress), and AQE's skew stats measure COMPRESSED bytes
+    * which boilerplate defeats by 50-100×.
     *
     * A document whose every line is deduplicated away (an exact duplicate
     * of earlier documents) disappears from the output entirely — the
@@ -169,8 +183,17 @@ object Dedup {
     * `maxLines` to widen the id range. Violations fail the job loudly
     * rather than silently mis-ordering first occurrences.
     */
+  sealed trait FirstsMode
+  object FirstsMode {
+    /** Measure the repeated-line vocabulary and broadcast when it fits. */
+    case object Auto extends FirstsMode
+    case object Broadcast extends FirstsMode
+    case object Shuffle extends FirstsMode
+  }
+
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      maxLines: Long = 1000000L, broadcastFirsts: Boolean = false): DataFrame = {
+      maxLines: Long = 1000000L, firstsMode: FirstsMode = FirstsMode.Auto,
+      broadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val id = col(idCol).cast("long")
     val maxId = Long.MaxValue / maxLines
     val lines = df
@@ -198,12 +221,27 @@ object Dedup {
       // bytes, so byte-based skew-split can stay blind to a 5× row-count
       // skew here (observed; tools/ScaleStress proves it by flipping
       // spark.shuffle.compress). The scale mitigation is therefore NOT
-      // AQE but `broadcastFirsts`: when the repeated-line vocabulary fits
-      // a broadcast (the normal web-corpus case), the corpus lines never
-      // shuffle on `line` at all and reduce-side skew cannot exist.
+      // AQE but broadcasting the firsts: when the repeated-line
+      // vocabulary fits (the normal web-corpus case), the corpus lines
+      // never shuffle on `line` at all and reduce-side skew cannot exist.
       .filter(col("__n") > 1)
       .drop("__n")
-    lines.join(if (broadcastFirsts) broadcast(firsts) else firsts, Seq("line"), "left")
+    val buildSide = firstsMode match {
+      case FirstsMode.Broadcast => broadcast(firsts)
+      case FirstsMode.Shuffle => firsts
+      case FirstsMode.Auto =>
+        // one eager pass over the aggregate: persist so the measured rows
+        // feed the downstream join from cache instead of recomputing the
+        // explode+groupBy. Estimated in-memory size = UTF-16 line chars +
+        // per-row object overhead.
+        val f = firsts.persist()
+        val m = f.agg(
+          coalesce(sum(length(col("line")).cast("long")), lit(0L)),
+          count(lit(1))).head
+        val estBytes = m.getLong(0) * 2 + m.getLong(1) * 48
+        if (estBytes <= broadcastMaxBytes) broadcast(f) else f
+    }
+    lines.join(buildSide, Seq("line"), "left")
       .filter(col("first_pos").isNull || col("first_pos") === col("pos"))
       .groupBy(col("id").as(idCol))
       .agg(

@@ -118,7 +118,8 @@ object ScaleStress {
       s"('${lineStats.getString(0).take(40)}')")
 
     val t0 = System.nanoTime()
-    val out = Dedup.dedupLines(docs, "doc_id", "text", broadcastFirsts = broadcastFirsts)
+    val out = Dedup.dedupLines(docs, "doc_id", "text",
+      firstsMode = if (broadcastFirsts) Dedup.FirstsMode.Broadcast else Dedup.FirstsMode.Shuffle)
       .groupBy().agg(count(lit(1)).as("docs"), sum("n_lines_kept").as("lines"))
     val row = out.collect()(0)
     val sec = (System.nanoTime() - t0) / 1e9

@@ -106,17 +106,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("__graft_keep_first_rn"))
   }
 
-  test("dedupLines broadcastFirsts returns identical results to the default join") {
+  test("dedupLines firsts modes (Auto/Broadcast/Shuffle) return identical results") {
     import spark.implicits._
     val docs = Seq(
       1L -> "SHARED HEADER\nunique one\n\nfooter A",
       2L -> "SHARED HEADER\nunique two\n\nfooter A",
       3L -> "unique three\nfooter A\nSHARED HEADER",
     ).toDF("id", "text")
-    def res(b: Boolean) = Dedup.dedupLines(docs, "id", "text", broadcastFirsts = b)
+    def res(m: Dedup.FirstsMode) = Dedup.dedupLines(docs, "id", "text", firstsMode = m)
       .select("id", "text", "n_lines_kept").as[(Long, String, Long)].collect().toSet
-    assert(res(true) == res(false))
-    assert(res(true).map(_._1) == Set(1L, 2L, 3L))
+    val auto = res(Dedup.FirstsMode.Auto)
+    assert(auto == res(Dedup.FirstsMode.Broadcast))
+    assert(auto == res(Dedup.FirstsMode.Shuffle))
+    assert(auto.map(_._1) == Set(1L, 2L, 3L))
+  }
+
+  test("dedupLines Auto broadcasts a small vocabulary and shuffles past the cap") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "SHARED HEADER\nunique one",
+      2L -> "SHARED HEADER\nunique two",
+    ).toDF("id", "text")
+    def planOf(maxBytes: Long) = {
+      val df = Dedup.dedupLines(docs, "id", "text", broadcastMaxBytes = maxBytes)
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    // disable Catalyst/AQE auto-broadcast so the observed join strategy is
+    // the OPERATOR's choice, not the planner's size-statistics choice
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      assert(planOf(64L << 20).contains("BroadcastHashJoin"),
+        "small repeated vocabulary must select the broadcast join")
+      assert(!planOf(0L).contains("BroadcastHashJoin"),
+        "a zero-byte cap must fall back to the shuffle join")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevAqe.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
   }
 
   test("dedupLines id-range contract: boundary id passes, out-of-range fails loudly") {
