@@ -62,10 +62,31 @@ object StreamDedup {
     * batch operator — shuffle-read order varies across task retries, so
     * "first in iterator order" could emit a different occurrence than a
     * sink already saw. State is one boolean per line, partitioned by the
-    * line key (the same shuffle key as the batch groupBy); a TTL timeout
-    * would bound the store for windowed dedup.
+    * line key (the same shuffle key as the batch groupBy).
+    *
+    * STATE BOUND: without `ttl` the store holds one entry per distinct
+    * content line FOREVER — exact global dedup, but unbounded growth with
+    * corpus vocabulary on a long-running stream (a slow OOM at web scale).
+    * Passing `ttl` switches to ProcessingTimeTimeout WINDOWED dedup: a
+    * line's state evicts after going `ttl` unseen (the timeout is
+    * refreshed on every re-observation, so actively-repeating boilerplate
+    * never evicts), and the next occurrence after eviction is treated as
+    * a fresh first and EMITTED AGAIN. That is a deliberate divergence
+    * from the batch operator's corpus-global rule — batch parity holds
+    * only for the untimed default. Timeouts fire when a later micro-batch
+    * runs (processing-time semantics), not on wall-clock alone.
+    *
+    * TRIGGER CONTRACT: run ttl-enabled streams with an explicit trigger
+    * interval (`Trigger.ProcessingTime(...)`). With ProcessingTimeTimeout,
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is true for EVERY
+    * trigger (no due-time check), so under the default ASAP trigger
+    * no-data micro-batches run back-to-back burning cores — and
+    * `StreamingQuery.processAllAvailable` NEVER returns (the engine never
+    * reaches its `noNewData` state), so drive tests/tools by polling the
+    * sink, not by awaiting quiescence.
     */
-  def dedupLinesStream(docs: Dataset[Doc], maxLines: Long = 1000000L): Dataset[DocLine] = {
+  def dedupLinesStream(docs: Dataset[Doc], maxLines: Long = 1000000L,
+      ttl: Option[java.time.Duration] = None): Dataset[DocLine] = {
     implicit val lineEnc = Encoders.product[DocLine]
     implicit val boolEnc = Encoders.scalaBoolean
     val maxId = Long.MaxValue / maxLines
@@ -77,15 +98,23 @@ object StreamDedup {
     }
     def isStructure(l: String): Boolean =
       l.forall(c => c == ' ' || c == '\t' || c == '\r' || c == '\f')
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val structural = lines.filter(l => isStructure(l.line))
     val content = lines.filter(l => !isStructure(l.line))
       .groupByKey(_.line)(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, DocLine](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[DocLine], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            // sliding TTL: re-observation refreshes the eviction clock
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            Iterator.empty
+          } else {
             state.update(true)
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             Iterator.single(rows.minBy(r => r.id * maxLines + r.idx))
           }
       }

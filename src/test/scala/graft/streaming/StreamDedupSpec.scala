@@ -123,4 +123,45 @@ class StreamDedupSpec extends AnyFunSuite {
       assert(batch == byDoc.toMap)
     } finally query.stop()
   }
+
+  test("dedupLinesStream ttl evicts idle line state; the next occurrence re-emits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamDedup.Doc]
+    val qname = "stream_linededup_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // ProcessingTimeTimeout makes `shouldRunAnotherBatch` true for every
+    // trigger (no due-time check), so `noNewData` is NEVER signaled and
+    // processAllAvailable would hang forever — the operator scaladoc
+    // documents the trigger contract; the test polls the sink instead
+    val query = StreamDedup.dedupLinesStream(input.toDS(),
+      ttl = Some(java.time.Duration.ofSeconds(4)))
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    def emitted(): Seq[(Long, String)] = spark.table(qname)
+      .as[StreamDedup.DocLine].collect().toSeq.map(l => (l.id, l.line))
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!cond) {
+        query.exception.foreach(throw _)
+        assert(System.currentTimeMillis - t0 < 60000, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      input.addData(StreamDedup.Doc(1, "REPEATED LINE\nalpha"))
+      waitFor("doc 1 batch")(emitted().contains((1L, "alpha")))
+      // same line again INSIDE the ttl window → suppressed (and refreshes)
+      input.addData(StreamDedup.Doc(2, "REPEATED LINE\nbeta"))
+      waitFor("doc 2 batch")(emitted().contains((2L, "beta")))
+      assert(emitted().filter(_._2 == "REPEATED LINE").map(_._1) == Seq(1L),
+        "in-window repeat must stay suppressed")
+      Thread.sleep(9000) // > ttl with margin; no-data batches fire the eviction
+      // after eviction the line is a FRESH first and emits again — the
+      // documented divergence from the batch corpus-global rule
+      input.addData(StreamDedup.Doc(4, "REPEATED LINE\ndelta"))
+      waitFor("post-eviction re-emit")(
+        emitted().filter(_._2 == "REPEATED LINE").map(_._1).sorted == Seq(1L, 4L))
+    } finally query.stop()
+  }
 }
