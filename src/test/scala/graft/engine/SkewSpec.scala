@@ -27,4 +27,37 @@ class SkewSpec extends AnyFunSuite {
       .rdd.glom().map(_.length).collect().filter(_ > 0)
     assert(parts.length > 1, s"hot key stayed on one partition: ${parts.toSeq}")
   }
+
+  test("withSalt refuses shuffle-derived and nondeterministic inputs in code") {
+    import spark.implicits._
+    val scan = (0 until 100).map(i => ("k", i.toLong)).toDF("k", "v")
+    // scan-direct (local relation + project/filter) passes
+    assert(Skew.withSalt(scan.filter(col("v") >= 0), 4).columns.contains("__salt"))
+    // an upstream aggregate (recomputable shuffle) is refused loudly
+    val agg = scan.groupBy("k").agg(sum("v").as("s"))
+    val e1 = intercept[IllegalArgumentException](Skew.withSalt(agg, 4))
+    assert(e1.getMessage.contains("SPARK-23207"))
+    // a nondeterministic expression upstream is refused too
+    val nondet = scan.withColumn("r", rand())
+    val e2 = intercept[IllegalArgumentException](Skew.withSalt(nondet, 4))
+    assert(e2.getMessage.contains("SPARK-23207"))
+  }
+
+  test("withSaltStable salts shuffle-derived input deterministically across evaluations") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+      .groupBy("k").agg(sum("v").as("s"))
+    val salted = Skew.withSaltStable(df, 8)
+    def snap() = salted.select("k", "__salt").as[(String, Long)].collect().toSeq.sorted
+    // two separate actions over the same plan: the checkpointed blocks make
+    // the (partition, position)-derived salts identical
+    assert(snap() == snap())
+    // and the two-phase agg over a SHUFFLED input works via stable = true
+    val two = Skew.twoPhaseAgg(df, "k", nSalts = 4,
+      Seq((sum(col("s")), (c: String) => sum(col(c)), "t")), stable = true)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val plain = df.groupBy("k").agg(sum("s").as("t")).orderBy("k")
+      .as[(String, Long)].collect().toSeq
+    assert(two == plain)
+  }
 }
