@@ -143,8 +143,17 @@ object Similarity {
     require(vecs.nonEmpty, "localKMeans: empty sample")
     val n = vecs.length
     val kk = math.max(1, math.min(k, n))
+    val centers = Array.tabulate(kk)(c => vecs(((c.toLong * n) / kk).toInt).clone())
+    lloyd(vecs, centers, iters)
+  }
+
+  /** Lloyd iterations from explicit initial centers (deterministic). */
+  private def lloyd(vecs: Array[Array[Float]], init: Array[Array[Float]],
+      iters: Int): Array[Array[Float]] = {
+    val n = vecs.length
+    val kk = init.length
     val dim = vecs(0).length
-    var centers = Array.tabulate(kk)(c => vecs(((c.toLong * n) / kk).toInt).clone())
+    var centers = init
     var it = 0
     while (it < iters) {
       val sums = Array.fill(kk)(new Array[Double](dim))
@@ -176,6 +185,55 @@ object Similarity {
     centers
   }
 
+  /** [[localKMeans]] plus SPLIT-OVERSIZED-INTO-EMPTY balance passes — the
+    * quantizer fit that survives past sandbox cell counts. Plain Lloyd's
+    * over clustered data (the web-corpus norm: topic/template clusters)
+    * collapses many of a large k's centers onto the same cluster mean,
+    * leaving EMPTY cells (dead index partitions) next to oversized ones
+    * (scan hotspots). Each pass assigns the sample, then refills every
+    * empty slot by 2-means-splitting the currently largest cell (largest
+    * by the running size estimate — halved as splits consume it), and
+    * finishes with two polish Lloyd iterations; passes repeat until no
+    * cell is empty or `maxPasses` is hit. Deterministic: split order is
+    * (empty slot ascending → current largest), 2-means inherits sample
+    * order. Still O(sample × k × iters) driver-side work on KB-scale data.
+    */
+  def balancedKMeans(vecs: Array[Array[Float]], k: Int, iters: Int = 15,
+      maxPasses: Int = 8): Array[Array[Float]] = {
+    var centers = localKMeans(vecs, k, iters)
+    val kk = centers.length
+    var pass = 0
+    var hadEmpties = true
+    while (hadEmpties && pass < maxPasses) {
+      val sizes = new Array[Int](kk)
+      vecs.foreach(v => sizes(nearestCell(v, centers)) += 1)
+      val empties = (0 until kk).filter(sizes(_) == 0)
+      hadEmpties = empties.nonEmpty
+      if (hadEmpties) {
+        centers = centers.clone()
+        empties.foreach { e =>
+          val big = (0 until kk).maxBy(sizes)
+          if (sizes(big) >= 2) {
+            val members = vecs.filter(v => nearestCell(v, centers) == big)
+            if (members.length >= 2) {
+              val children = localKMeans(members, 2, iters)
+              centers(big) = children(0)
+              centers(e) = children(1)
+            } else {
+              centers(e) = members.headOption.getOrElse(centers(big))
+            }
+            val half = sizes(big) / 2
+            sizes(e) = half
+            sizes(big) -= half
+          }
+        }
+        centers = lloyd(vecs, centers, 2)
+      }
+      pass += 1
+    }
+    centers
+  }
+
   final case class IvfIndex(centroids: Array[Array[Float]])
 
   /** Fit the quantizer from a deterministic UNBIASED sample: take-ordered
@@ -192,7 +250,7 @@ object Similarity {
     val idCol = col(corpus.columns.head)
     val sample = corpus.orderBy(xxhash64(idCol), idCol).limit(sampleCap)
       .collect().sortBy(_._1).map(_._2)
-    IvfIndex(localKMeans(sample, nCells))
+    IvfIndex(balancedKMeans(sample, nCells))
   }
 
   /** Inline-fit convenience (tests, small corpora): build + probe. */

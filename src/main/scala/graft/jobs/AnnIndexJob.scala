@@ -17,6 +17,33 @@ import org.apache.spark.sql.functions.col
   */
 object AnnIndexJob {
 
+  /** Cell count as a function of corpus size — the classic IVF sizing rule
+    * nCells ≈ √N (balances cells-scanned-per-probe against per-cell scan
+    * cost), clamped to [4, 65536]: a 1e12-row corpus gets the 65536 cap
+    * (per-cell ~15M vectors — further subdivision belongs to a second
+    * quantizer level, out of scope here), the sandbox's 2k vectors get 45.
+    */
+  def autoCells(corpusSize: Long): Int =
+    math.max(4L, math.min(65536L, math.round(math.sqrt(math.max(0L, corpusSize).toDouble)))).toInt
+
+  /** Quantizer sample size for a cell count: ≥32 sample vectors per cell
+    * (below that, Lloyd's + the balance passes fit noise), floored at the
+    * legacy 2048 and capped at 1M driver-side vectors.
+    */
+  def autoSampleCap(nCells: Int): Int =
+    math.max(2048, math.min(1 << 20, 32 * nCells))
+
+  /** [[build]] with size-derived quantizer parameters: one corpus count
+    * chooses nCells ≈ √N and a matching sample cap.
+    */
+  def buildAuto(
+      spark: SparkSession,
+      corpus: Dataset[(Long, Array[Float])],
+      outDir: String): Similarity.IvfIndex = {
+    val cells = autoCells(corpus.count())
+    build(spark, corpus, outDir, nCells = cells, sampleCap = autoSampleCap(cells))
+  }
+
   def build(
       spark: SparkSession,
       corpus: Dataset[(Long, Array[Float])],

@@ -74,6 +74,49 @@ class AnnIndexJobSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("64-cell balanced quantizer: no empty cells, bounded hotspots, recall witness intact") {
+    import spark.implicits._
+    // clustered data is the adversarial case for a large k: plain Lloyd's
+    // collapses most of 64 centers onto the 5 cluster means, leaving ~59
+    // dead cells — the balance passes must refill them by splitting
+    val sample = corpus.collect().sortBy(_._1).map(_._2)
+    val centers = Similarity.balancedKMeans(sample, 64)
+    assert(centers.length == 64)
+    // determinism (the split order and 2-means inherit sample order)
+    assert(centers.map(_.toSeq).toSeq == Similarity.balancedKMeans(sample, 64).map(_.toSeq).toSeq)
+    val sizes = new Array[Int](64)
+    sample.foreach(v => sizes(Similarity.nearestCell(v, centers)) += 1)
+    assert(sizes.forall(_ > 0), s"empty cells survived the balance passes: ${sizes.toSeq}")
+    val mean = sample.length.toDouble / 64
+    assert(sizes.max <= (8 * mean).ceil.toInt,
+      s"oversized hotspot cell: max=${sizes.max} mean=$mean")
+
+    // the persisted-index query path still works at 64 cells and its
+    // recall@5-vs-exact witness (the q47 self-witness contract) holds up
+    val out = java.nio.file.Files.createTempDirectory("graft_ann_64").toString
+    AnnIndexJob.build(spark, corpus, out, nCells = 64, sampleCap = AnnIndexJob.autoSampleCap(64))
+    val queries = corpus.filter(_._1 < 5).collect().sortBy(_._1)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val ivf = AnnIndexJob.queryIndex(spark, out, queries, 5, nProbe = 16).collect()
+    assert(ivf.groupBy(_.query_id).forall(_._2.length == 5))
+    val recall = ivf.groupBy(_.query_id).map { case (q, ns) =>
+      ns.count(n => exact(q).contains(n.neighbor_id)) / 5.0
+    }
+    assert(recall.sum / recall.size >= 0.6,
+      s"mean recall@5 collapsed at 64 cells/16 probes: ${recall.toSeq.sorted}")
+  }
+
+  test("autoCells follows sqrt(N) with clamps") {
+    assert(AnnIndexJob.autoCells(0) == 4)
+    assert(AnnIndexJob.autoCells(2048) == 45)
+    assert(AnnIndexJob.autoCells(1000000) == 1000)
+    assert(AnnIndexJob.autoCells(5000000000000L) == 65536)
+    assert(AnnIndexJob.autoSampleCap(45) == 2048)
+    assert(AnnIndexJob.autoSampleCap(1000) == 32000)
+    assert(AnnIndexJob.autoSampleCap(65536) == (1 << 20))
+  }
+
   test("prebuilt-index query equals the inline-fit query") {
     import spark.implicits._
     val queries = corpus.filter(_._1 < 5).collect().sortBy(_._1)
