@@ -1679,10 +1679,22 @@ object SparkEntry {
         |FROM z GROUP BY media_id ORDER BY media_id""".stripMargin,
     // q58: the oracle regenerates every 13-gram window and the bench set
     // independently and joins them exactly — no hashing on either side.
-    // The planted line-wrapped duplicates (id + 1e6) normalize back to the
-    // bench gram, so they are contaminated by construction.
+    // The planted line-wrapped duplicates (id + 1e6) flag only when their
+    // whitespace-NORMALIZED token run still forms the 13-gram (an empty
+    // token among the first 13 — consecutive/trailing spaces — collapses
+    // under \s+ normalization on BOTH engine sides, leaving fewer than 13
+    // tokens and no gram), so the planted branch regenerates that
+    // condition instead of flagging unconditionally; the guard CTE errors
+    // loudly on source ids that would collide with the planted id space
+    // and on documents past the token range cap.
     "q58_decontaminate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE
+        |    WHEN max(doc_id) >= 1000000
+        |      THEN error('q58 oracle: source doc_id collides with the planted +1e6 id space')
+        |    WHEN max(len(ws)) > 3950
+        |      THEN error('q58 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
         |bench AS (
         |  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
         |  FROM d WHERE doc_id % 25 = 0 AND len(ws) >= 13),
@@ -1694,6 +1706,8 @@ object SparkEntry {
         |UNION
         |SELECT doc_id + 1000000 AS doc_id FROM d
         |WHERE doc_id % 25 = 0 AND len(ws) >= 13
+        |  AND len(list_filter(ws[1:13], x -> x <> '')) = 13
+        |  AND (SELECT g FROM guard) = 0
         |ORDER BY doc_id""".stripMargin,
     // q57: the redacted line has a closed form — email and the two url
     // shapes mask, the (at)-obfuscated and malformed-scheme tokens survive
@@ -1733,6 +1747,9 @@ object SparkEntry {
     // whitespace-only lines exempt) with window-free min aggregation
     "q56_line_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ws)) > 3950
+        |    THEN error('q56 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
         |lin AS (
         |  SELECT doc_id, 0 AS idx, 'CORPUS HEADER BOILERPLATE' AS line FROM d
         |  UNION ALL
@@ -1754,12 +1771,16 @@ object SparkEntry {
         |SELECT doc_id,
         |  string_agg(line, chr(10) ORDER BY idx) AS text,
         |  CAST(count(*) AS BIGINT) AS n_lines_kept
-        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM kept, guard WHERE guard.g = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q60: the oracle reconstructs the planted-repetition page and
     // regenerates every n-gram's (count × length) mass independently —
     // integer-exact, no float surface
     "q60_repetition" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ws)) > 3950
+        |    THEN error('q60 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
         |pg AS (SELECT doc_id,
         |    text || repeat(' ' || array_to_string(ws[1:2], ' '), CAST(doc_id % 5 AS INT)) AS page
         |  FROM d),
@@ -1788,7 +1809,8 @@ object SparkEntry {
         |  CAST(COALESCE(dup3, 0) AS BIGINT) AS dup3_chars,
         |  CAST(COALESCE(top3, 0) AS BIGINT) AS top3_chars,
         |  CAST(COALESCE(tot3, 0) AS BIGINT) AS total3_chars
-        |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id), guard
+        |WHERE guard.g = 0
         |ORDER BY doc_id""".stripMargin,
     // q59: the oracle replays the ENTIRE composed pipeline — page
     // construction (normal / constant / near-dup-clique classes), the

@@ -92,9 +92,12 @@ object ScaleData {
       src("embeddings").crossJoin(ks)
         .select(
           (col("vec_id") + kc * Offset).as("vec_id"),
-          transform(col("embedding"), (x, d) =>
-            (x + ((kc * 31 + d) % 7 - lit(3)).cast("float") * lit(0.003f)
-              * when(kc === 0, lit(0.0f)).otherwise(lit(1.0f))).cast("float"))
+          // replica 0 passes the source column through UNTOUCHED: adding a
+          // zeroed delta would still canonicalize -0.0f to +0.0f (and NaN
+          // payloads), breaking the bit-exact replica-0 contract
+          when(kc === 0, col("embedding"))
+            .otherwise(transform(col("embedding"), (x, d) =>
+              (x + ((kc * 31 + d) % 7 - lit(3)).cast("float") * lit(0.003f)).cast("float")))
             .as("embedding"),
           col("label")),
       "embeddings")
