@@ -830,19 +830,21 @@ object SparkEntry {
         .toDF("doc_id", "canon_url", "page_text")
       val s1 = Dedup.keepFirstBy(pages, "doc_id", col("canon_url"))
       val s2 = Dedup.keepFirstBy(s1, "doc_id", md5(col("page_text")))
-      // stage 3: near-dedup. s2 is persisted for the signature/verify
-      // passes and the eager component resolution, then released — the
-      // returned plan re-derives s2 lazily (linear), anti-joined against
-      // the small materialized non-keeper table.
-      s2.persist()
-      val s2text = s2.select(col("doc_id"), col("page_text")).as[(Long, String)]
+      // stage 3: near-dedup. The upstream chain (page construction + two
+      // dedup windows) executes exactly ONCE: s2 is localCheckpoint'ed
+      // eagerly and the materialized blocks feed the signature pass, the
+      // exact-Jaccard verify, AND the returned downstream plan — without
+      // the checkpoint the eager component resolution plus the final
+      // action would re-derive s2 three times. Tradeoff (as in q17): on
+      // preemptible executors a lost checkpoint block is a loud failure.
+      val s2cp = s2.localCheckpoint(true)
+      val s2text = s2cp.select(col("doc_id"), col("page_text")).as[(Long, String)]
       val sigs = Dedup.signatures(s2text).persist()
       val near = Dedup.exactJaccard(s2text, Dedup.candidatePairs(sigs))
         .filter(_.estimated_jaccard >= 0.85)
         .map(p => Dedup.Pair(p.a, p.b))
-      val s3 = Dedup.dedupNear(s2, "doc_id", near) // resolveClusters materializes here
+      val s3 = Dedup.dedupNear(s2cp, "doc_id", near) // resolveClusters materializes here
       sigs.unpersist()
-      s2.unpersist()
       val bench = t(s, dir, "documents")
         .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
         .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
