@@ -840,7 +840,17 @@ object SparkEntry {
       val s2cp = s2.localCheckpoint(true)
       val s2text = s2cp.select(col("doc_id"), col("page_text")).as[(Long, String)]
       val sigs = Dedup.signatures(s2text).persist()
-      val near = Dedup.exactJaccard(s2text, Dedup.candidatePairs(sigs))
+      // maxBucket=48: for DEDUP (unlike pair-emission queries q17/q22)
+      // only CONNECTIVITY matters, and a big near-identical family — e.g.
+      // a mirror site, or ScaleData's ~100-replica derived families at
+      // sf10 — would otherwise emit O(m²) verify pairs per family
+      // (measured: 24M pairs / ~95 GB of shingle-array shuffle at 100×);
+      // keeper-star pairing above the cap keeps each family connected at
+      // O(m) pairs WITH HIGH PROBABILITY, not certainty — the documented
+      // capped-bucket recall tradeoff (cappedBuckets accumulator) leaked
+      // 219 of ~480k family members (0.05%) at 100×. The sf0.01 oracle
+      // gate is exact: no bucket there reaches the cap
+      val near = Dedup.exactJaccard(s2text, Dedup.candidatePairs(sigs, maxBucket = 48))
         .filter(_.estimated_jaccard >= 0.85)
         .map(p => Dedup.Pair(p.a, p.b))
       val s3 = Dedup.dedupNear(s2cp, "doc_id", near) // resolveClusters materializes here
@@ -849,7 +859,12 @@ object SparkEntry {
         .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
         .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
       val contaminated = Dedup.contaminatedDocs(s3, "doc_id", "page_text", bench)
-      val clean = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      // checkpoint the decontaminated corpus: dedupLines' Auto mode runs an
+      // eager vocabulary-measure action and the final action runs the line
+      // join — without the checkpoint each would re-execute the 13-gram
+      // decontamination explode and both dedup windows (measured 2× cost
+      // at 100× input)
+      val clean = s3.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
       val deduped = Dedup.dedupLines(clean, "doc_id", "page_text")
       val redacted = deduped.select(col("doc_id"), col("page_text")).as[(Long, String)]
         .mapPartitions(_.map { case (i, txt) =>

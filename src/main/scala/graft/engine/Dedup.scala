@@ -391,30 +391,32 @@ object Dedup {
   /** Exact n-gram Jaccard for a pair set — the final verification stage
     * (joins texts back only for surviving candidates).
     *
-    * The shingle pass runs EXACTLY ONCE: each pair explodes into its two
-    * member rows and joins the shingle dataset on `id` in a single join
-    * (the old two-sided `join(sa).join(sb)` shape evaluated the full
-    * shingle computation once per side); the per-pair regroup then
-    * shuffles only candidate-member rows. When the pair set is small
-    * relative to the corpus (the LSH-verify case) AQE broadcasts the
-    * exploded side, so the corpus-wide shingle stream is filtered
-    * map-side and never shuffles in full.
+    * Shape chosen by MEASUREMENT at 100× (see BENCH.md round 5): the
+    * shingle pass — the dominant compute — runs EXACTLY ONCE (eager
+    * `localCheckpoint`, so this operator materializes the shingle table),
+    * and the pair set joins it TWICE against the materialized blocks.
+    * Per-join the shingle table ships once regardless of how many pairs a
+    * document appears in; an explode-per-pair-member + regroup shape
+    * (tried first) ships each document's array once PER PAIR, which at a
+    * dense near-dup corpus (12 pairs/doc at 100×) meant a 24 GB array
+    * shuffle vs ~4 GB here. When the pair set is small (the normal
+    * LSH-verify case) it broadcasts and the shingle blocks never shuffle
+    * at all. Tradeoff of the checkpoint: one materialization of
+    * O(corpus tokens) longs — spillable, lineage-truncated; a lost block
+    * on preemptible executors fails loudly.
     */
   def exactJaccard(ds: Dataset[(Long, String)], pairs: Dataset[Pair], k: Int = 3): Dataset[ScoredPair] = {
     val spark = ds.sparkSession
     import spark.implicits._
     val sh = ds.mapPartitions(_.map { case (id, t) => (id, Fingerprint.shingles(t, k)) })
       .select(col("_1").as("id"), col("_2").as("sh"))
-    val sides = pairs.toDF().select(col("a"), col("b"),
-      explode(array(col("a"), col("b"))).as("id"))
-    sides.join(sh, "id")
-      .groupBy("a", "b")
-      .agg(
-        first(when(col("id") === col("a"), col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("id") === col("b"), col("sh")), ignoreNulls = true).as("sh_b"))
-      // a pair whose member is absent from `ds` drops (the old inner-join
-      // semantics) rather than NPE-ing on a null shingle array
-      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      .localCheckpoint(true)
+    val sa = sh.select(col("id").as("a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("id").as("b"), col("sh").as("sh_b"))
+    pairs.toDF().join(sa, "a").join(sb, "b")
+      // using-joins move their keys first; re-fix order before the
+      // positional decode (the classic q19 a/b-swap trap)
+      .select(col("a"), col("b"), col("sh_a"), col("sh_b"))
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (a, b, sha, shb) => ScoredPair(a, b, Fingerprint.jaccard(sha, shb)) }
   }
@@ -464,6 +466,36 @@ object Dedup {
       }
       .toDF("a", "b", "cosine")
       .dropDuplicates("a", "b")
+  }
+
+  /** Sparsify a candidate-pair graph for DEDUP: keep each node's `k`
+    * smallest-id partners (symmetric view, then re-canonicalized). On a
+    * dense near-duplicate family of m members the LSH multi-band stars
+    * emit O(m·bands) redundant candidates, every one of which ships two
+    * shingle arrays through [[exactJaccard]]; per-node truncation toward
+    * small ids keeps the family connected W.H.P. (every non-minimum
+    * member retains a downward edge, chains terminate at the family
+    * minimum) at O(m·k) pairs. APPROXIMATE — same disclosed class as the
+    * capped-bucket star: a pruned true pair can in principle disconnect a
+    * sparse component, so use it only for cluster-resolution pipelines
+    * (where connectivity, not the pair SET, is the contract) on corpora
+    * whose candidate density makes verification the bottleneck. Cost: one
+    * window over 2·|pairs| 16-byte rows — negligible next to the array
+    * shuffle it avoids.
+    */
+  def sparsifyCandidates(pairs: Dataset[Pair], k: Int = 4): Dataset[Pair] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sym = pairs.toDF().select(col("a").as("n"), col("b").as("p"))
+      .union(pairs.toDF().select(col("b").as("n"), col("a").as("p")))
+      .filter(col("n") =!= col("p"))
+      .distinct()
+    val w = Window.partitionBy("n").orderBy(col("p").asc)
+    sym.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(greatest(col("n"), col("p")).as("u"), least(col("n"), col("p")).as("v"))
+      .distinct()
+      .as[(Long, Long)]
+      .map { case (u, v) => Pair(v, u) }
   }
 
   final case class ClusterResult(assignment: DataFrame, iterations: Int)
