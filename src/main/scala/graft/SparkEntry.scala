@@ -838,8 +838,6 @@ object SparkEntry {
       // action would re-derive s2 three times. Tradeoff (as in q17): on
       // preemptible executors a lost checkpoint block is a loud failure.
       val s2cp = s2.localCheckpoint(true)
-      val s2text = s2cp.select(col("doc_id"), col("page_text")).as[(Long, String)]
-      val sigs = Dedup.signatures(s2text).persist()
       // maxBucket=48: for DEDUP (unlike pair-emission queries q17/q22)
       // only CONNECTIVITY matters, and a big near-identical family — e.g.
       // a mirror site, or ScaleData's ~100-replica derived families at
@@ -850,11 +848,8 @@ object SparkEntry {
       // capped-bucket recall tradeoff (cappedBuckets accumulator) leaked
       // 219 of ~480k family members (0.05%) at 100×. The sf0.01 oracle
       // gate is exact: no bucket there reaches the cap
-      val near = Dedup.exactJaccard(s2text, Dedup.candidatePairs(sigs, maxBucket = 48))
-        .filter(_.estimated_jaccard >= 0.85)
-        .map(p => Dedup.Pair(p.a, p.b))
-      val s3 = Dedup.dedupNear(s2cp, "doc_id", near) // resolveClusters materializes here
-      sigs.unpersist()
+      val s3 = Dedup.dedupNearText(s2cp, "doc_id", "page_text",
+        threshold = 0.85, maxBucket = 48)
       val bench = t(s, dir, "documents")
         .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
         .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))

@@ -604,4 +604,39 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(nonKeepers, Seq(idCol), "left_anti")
   }
+
+  /** ONE-CALL near-dedup of a text corpus — the full production chain:
+    * MinHash signatures → LSH candidate pairs (capped buckets) →
+    * [optional degree sparsification] → exact word-k-gram Jaccard verify
+    * at `threshold` → connected-component resolution → anti-join
+    * non-keepers. This is the operator a pretraining pipeline calls as
+    * `Dedup.dedupNearText(corpus, "doc_id", "text")`; q59's flagship
+    * stage routes through it.
+    *
+    * EAGER (like its parts): signatures persist for the two passes,
+    * exactJaccard checkpoints the shingle table, and cluster resolution
+    * materializes the graph — the returned frame is `df` minus a small
+    * non-keeper table, lazily composable downstream. The text input is
+    * evaluated by two passes (signatures, shingles); feed it from a scan
+    * or checkpoint it first. `maxBucket`/`sparsifyK` trade exact pair
+    * coverage for bounded work on dense near-dup families (mirror sites;
+    * see the capped-star and sparsification scaladocs — both disclosed
+    * approximations that preserve connectivity w.h.p.).
+    */
+  def dedupNearText(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.85, shingleK: Int = 3, maxBucket: Int = 1000,
+      sparsifyK: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    val sigs = signatures(ds, shingleK).persist()
+    try {
+      val cands0 = candidatePairs(sigs, maxBucket)
+      val cands = if (sparsifyK > 0) sparsifyCandidates(cands0, sparsifyK) else cands0
+      val pairs = exactJaccard(ds, cands, shingleK)
+        .filter(_.estimated_jaccard >= threshold)
+        .map(p => Pair(p.a, p.b))
+      dedupNear(df, idCol, pairs) // resolveClusters materializes here
+    } finally sigs.unpersist()
+  }
 }

@@ -82,6 +82,23 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(m(101L) == 100L && m(102L) == 100L)
   }
 
+  test("dedupNearText one-call near-dedup: chains collapse, distinct docs survive") {
+    import spark.implicits._
+    val body = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val other = (0 until 60).map(i => s"alt$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$body suffix one",
+      2L -> s"$body suffix two", // near-dup of 1
+      3L -> s"$body suffix three", // near-dup of 1 and 2 (transitive family)
+      4L -> other, // unrelated
+      5L -> s"$other tail x", // near-dup of 4
+      6L -> "completely different short text about nothing shared at all here today",
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupNearText(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 6L))
+  }
+
   test("dedupNear keeps component minima and passes isolated rows through") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
