@@ -1700,20 +1700,23 @@ object SparkEntry {
     // loudly on source ids that would collide with the planted id space
     // and on documents past the token range cap.
     "q58_decontaminate" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
         |guard AS (SELECT CASE
         |    WHEN max(doc_id) >= 1000000
         |      THEN error('q58 oracle: source doc_id collides with the planted +1e6 id space')
         |    WHEN max(len(ws)) > 3950
         |      THEN error('q58 oracle: document exceeds the 3950-token range cap')
+        |    WHEN max(CASE WHEN regexp_matches(text, '[\t\n\r\f]') THEN 1 ELSE 0 END) = 1
+        |      THEN error('q58 oracle: non-space whitespace in source text - space-split replay invalid')
         |    ELSE 0 END AS g FROM d),
+        |wf AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS fs FROM d),
         |bench AS (
-        |  SELECT DISTINCT array_to_string(ws[1:13], ' ') AS gram
+        |  SELECT DISTINCT array_to_string(list_filter(ws[1:13], x -> x <> ''), ' ') AS gram
         |  FROM d WHERE doc_id % 25 = 0 AND len(ws) >= 13),
         |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
         |g AS (
-        |  SELECT doc_id, array_to_string(ws[i : i + 12], ' ') AS gram
-        |  FROM d JOIN nums ON i <= len(ws) - 12)
+        |  SELECT doc_id, array_to_string(fs[i : i + 12], ' ') AS gram
+        |  FROM wf JOIN nums ON i <= len(fs) - 12)
         |SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
         |UNION
         |SELECT doc_id + 1000000 AS doc_id FROM d
@@ -1839,9 +1842,13 @@ object SparkEntry {
     // longer than the cap errors the oracle instead of silently
     // desynchronizing from the unbounded engine side.
     "q59_llm_pipeline" ->
-      """WITH RECURSIVE d AS (SELECT doc_id AS i, string_split(text, ' ') AS ws FROM documents),
-        |capguard AS (SELECT CASE WHEN max(len(ws)) > 3950
-        |    THEN error('q59 oracle: document exceeds the 3950-token range cap')
+      """WITH RECURSIVE d AS (SELECT doc_id AS i, text, string_split(text, ' ') AS ws FROM documents),
+        |capguard AS (SELECT CASE
+        |    WHEN max(len(ws)) > 3950
+        |      THEN error('q59 oracle: document exceeds the 3950-token range cap')
+        |    WHEN max(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |        x -> x <> ''))) > 3930
+        |      THEN error('q59 oracle: alnum token count exceeds the word-gram range cap')
         |    ELSE 0 END AS g FROM d),
         |cls AS (SELECT i, ws,
         |    CASE WHEN i % 17 = 0 THEN 'C'

@@ -230,11 +230,15 @@ object Dedup {
       case FirstsMode.Broadcast => broadcast(firsts)
       case FirstsMode.Shuffle => firsts
       case FirstsMode.Auto =>
-        // one eager pass over the aggregate: persist so the measured rows
-        // feed the downstream join from cache instead of recomputing the
-        // explode+groupBy. Estimated in-memory size = UTF-16 line chars +
-        // per-row object overhead.
-        val f = firsts.persist()
+        // one eager materialization of the aggregate (localCheckpoint, NOT
+        // persist: a persist inside an operator has no unpersist point and
+        // would pin one CacheManager entry per call for the session's
+        // lifetime; checkpoint blocks are released by the ContextCleaner
+        // when the plan is GC'd) — the measured rows then feed the
+        // downstream join from the materialized blocks instead of
+        // recomputing the explode+groupBy. Estimated in-memory size =
+        // UTF-16 line chars + per-row object overhead.
+        val f = firsts.localCheckpoint(true)
         val m = f.agg(
           coalesce(sum(length(col("line")).cast("long")), lit(0L)),
           count(lit(1))).head

@@ -213,18 +213,23 @@ object Similarity {
         centers = centers.clone()
         empties.foreach { e =>
           val big = (0 until kk).maxBy(sizes)
-          if (sizes(big) >= 2) {
-            val members = vecs.filter(v => nearestCell(v, centers) == big)
-            if (members.length >= 2) {
-              val children = localKMeans(members, 2, iters)
-              centers(big) = children(0)
-              centers(e) = children(1)
-            } else {
-              centers(e) = members.headOption.getOrElse(centers(big))
-            }
-            val half = sizes(big) / 2
+          // membership is recomputed against the CURRENT centers — the
+          // running `sizes` estimate can be stale after earlier splits in
+          // this pass. A drained pick (fewer than 2 actual members) is
+          // SKIPPED, never split: duplicating a centroid (or aliasing a
+          // caller-owned sample vector into the returned index) would
+          // leave a permanently-dead tie-broken cell; the next pass
+          // retries with a fresh assignment.
+          val members = vecs.filter(v => nearestCell(v, centers) == big)
+          if (members.length >= 2) {
+            val children = localKMeans(members, 2, iters)
+            centers(big) = children(0)
+            centers(e) = children(1)
+            val half = members.length / 2
             sizes(e) = half
-            sizes(big) -= half
+            sizes(big) = members.length - half
+          } else {
+            sizes(big) = members.length // correct the stale estimate
           }
         }
         centers = lloyd(vecs, centers, 2)

@@ -46,7 +46,11 @@ object Skew {
     val plan = df.queryExecution.analyzed
     val offender = plan.collectFirst {
       case p @ (_: Join | _: Aggregate | _: Window | _: Distinct | _: Deduplicate |
-                _: RepartitionOperation | _: Sort | _: GlobalLimit) => p.nodeName
+                _: RepartitionOperation | _: GlobalLimit) => p.nodeName
+      // sortWithinPartitions (global = false) induces no shuffle and is
+      // deterministic over a deterministic child — only a GLOBAL sort
+      // (range exchange, sampled boundaries) is in the hazard class
+      case s: Sort if s.global => s.nodeName
       case p if p.expressions.exists(e => !e.deterministic) => s"nondeterministic ${p.nodeName}"
     }
     require(offender.isEmpty,

@@ -19,19 +19,26 @@ object AnnIndexJob {
 
   /** Cell count as a function of corpus size — the classic IVF sizing rule
     * nCells ≈ √N (balances cells-scanned-per-probe against per-cell scan
-    * cost), clamped to [4, 65536]: a 1e12-row corpus gets the 65536 cap
-    * (per-cell ~15M vectors — further subdivision belongs to a second
-    * quantizer level, out of scope here), the sandbox's 2k vectors get 45.
+    * cost), clamped to [4, 4096]. The UPPER clamp is a driver-fit
+    * feasibility bound, not an ideal: the quantizer is a single-threaded
+    * driver-side Lloyd's over the sample, O(sample × k × dim × iters) —
+    * at 4096 cells × 131k sample it is minutes of driver CPU; the √N
+    * ideal for 1e12 rows (≈1M cells) would be days and belongs to a
+    * distributed or hierarchical (second-level) quantizer, out of scope
+    * here. At the clamp a 1e12-row corpus gets ~244M vectors/cell —
+    * coarse but functional with partition pruning; the sandbox's 2k
+    * vectors get 45.
     */
   def autoCells(corpusSize: Long): Int =
-    math.max(4L, math.min(65536L, math.round(math.sqrt(math.max(0L, corpusSize).toDouble)))).toInt
+    math.max(4L, math.min(4096L, math.round(math.sqrt(math.max(0L, corpusSize).toDouble)))).toInt
 
   /** Quantizer sample size for a cell count: ≥32 sample vectors per cell
     * (below that, Lloyd's + the balance passes fit noise), floored at the
-    * legacy 2048 and capped at 1M driver-side vectors.
+    * legacy 2048; the 131072 cap pairs with autoCells' 4096 clamp to keep
+    * the driver-side fit in the minutes range.
     */
   def autoSampleCap(nCells: Int): Int =
-    math.max(2048, math.min(1 << 20, 32 * nCells))
+    math.max(2048, math.min(1 << 17, 32 * nCells))
 
   /** [[build]] with size-derived quantizer parameters: one corpus count
     * chooses nCells ≈ √N and a matching sample cap.

@@ -33,6 +33,8 @@ class SkewSpec extends AnyFunSuite {
     val scan = (0 until 100).map(i => ("k", i.toLong)).toDF("k", "v")
     // scan-direct (local relation + project/filter) passes
     assert(Skew.withSalt(scan.filter(col("v") >= 0), 4).columns.contains("__salt"))
+    // sortWithinPartitions is shuffle-free and deterministic — must pass
+    assert(Skew.withSalt(scan.sortWithinPartitions("v"), 4).columns.contains("__salt"))
     // an upstream aggregate (recomputable shuffle) is refused loudly
     val agg = scan.groupBy("k").agg(sum("v").as("s"))
     val e1 = intercept[IllegalArgumentException](Skew.withSalt(agg, 4))

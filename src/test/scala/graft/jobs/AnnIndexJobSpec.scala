@@ -111,10 +111,11 @@ class AnnIndexJobSpec extends AnyFunSuite {
     assert(AnnIndexJob.autoCells(0) == 4)
     assert(AnnIndexJob.autoCells(2048) == 45)
     assert(AnnIndexJob.autoCells(1000000) == 1000)
-    assert(AnnIndexJob.autoCells(5000000000000L) == 65536)
+    // upper clamp is the driver-fit feasibility bound (see scaladoc)
+    assert(AnnIndexJob.autoCells(5000000000000L) == 4096)
     assert(AnnIndexJob.autoSampleCap(45) == 2048)
     assert(AnnIndexJob.autoSampleCap(1000) == 32000)
-    assert(AnnIndexJob.autoSampleCap(65536) == (1 << 20))
+    assert(AnnIndexJob.autoSampleCap(4096) == (1 << 17))
   }
 
   test("prebuilt-index query equals the inline-fit query") {
