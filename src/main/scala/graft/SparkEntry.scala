@@ -1706,7 +1706,7 @@ object SparkEntry {
         |      THEN error('q58 oracle: source doc_id collides with the planted +1e6 id space')
         |    WHEN max(len(ws)) > 3950
         |      THEN error('q58 oracle: document exceeds the 3950-token range cap')
-        |    WHEN max(CASE WHEN regexp_matches(text, '[\t\n\r\f]') THEN 1 ELSE 0 END) = 1
+        |    WHEN max(CASE WHEN regexp_matches(text, '[\t\n\x0b\f\r]') THEN 1 ELSE 0 END) = 1
         |      THEN error('q58 oracle: non-space whitespace in source text - space-split replay invalid')
         |    ELSE 0 END AS g FROM d),
         |wf AS (SELECT doc_id, list_filter(ws, x -> x <> '') AS fs FROM d),

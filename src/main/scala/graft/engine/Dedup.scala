@@ -236,8 +236,12 @@ object Dedup {
         // lifetime; checkpoint blocks are released by the ContextCleaner
         // when the plan is GC'd) — the measured rows then feed the
         // downstream join from the materialized blocks instead of
-        // recomputing the explode+groupBy. Estimated in-memory size =
-        // UTF-16 line chars + per-row object overhead.
+        // recomputing the explode+groupBy. Same preemption tradeoff as the
+        // q17/q59 checkpoint sites: a block lost to executor
+        // decommissioning fails the job LOUDLY (lineage is truncated) —
+        // on preemptible executors prefer the lazy Broadcast/Shuffle
+        // modes. Estimated in-memory size = UTF-16 line chars + per-row
+        // object overhead.
         val f = firsts.localCheckpoint(true)
         val m = f.agg(
           coalesce(sum(length(col("line")).cast("long")), lit(0L)),
