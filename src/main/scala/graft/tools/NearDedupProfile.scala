@@ -61,6 +61,15 @@ object NearDedupProfile {
     }
     println(s"[neardedup] kept $kept of ${corpus.count()} docs")
     sigs.unpersist()
+    // optional: measure capped-star leakage recovery by the multi-pass
+    // operator (pass 2 re-buckets the survivors, usually under the cap)
+    if (sys.env.get("SPARK_GRAFT_NEARDEDUP_PASSES").exists(_.toInt > 1)) {
+      val passes = sys.env("SPARK_GRAFT_NEARDEDUP_PASSES").toInt
+      val k2 = timed(s"dedupNearText passes=$passes")(
+        Dedup.dedupNearText(corpus, "doc_id", "text", maxBucket = maxBucket,
+          threshold = threshold, passes = passes).count())
+      println(s"[neardedup] multi-pass kept $k2 (single-pass kept $kept)")
+    }
     spark.stop()
   }
 }

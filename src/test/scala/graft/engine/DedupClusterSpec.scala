@@ -97,6 +97,13 @@ class DedupClusterSpec extends AnyFunSuite {
     val kept = Dedup.dedupNearText(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 4L, 6L))
+    // multi-pass is semantics-neutral when no bucket is capped: pass 2
+    // finds nothing among the survivors and exits early
+    val kept2 = Dedup.dedupNearText(docs, "doc_id", "text", threshold = 0.8, passes = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(1L, 4L, 6L))
+    intercept[IllegalArgumentException](
+      Dedup.dedupNearText(docs, "doc_id", "text", passes = 0))
   }
 
   test("dedupNear keeps component minima and passes isolated rows through") {
