@@ -1209,6 +1209,68 @@ object SparkEntry {
         .select(col("doc_id"), col("tp"), col("fp"), col("fn"), col("n_spans"))
         .orderBy(col("doc_id"))
     }),
+    "q62_gopher_rules" -> ((s, dir) => {
+      // Gopher document-filter rule set (Rae et al. 2021 Table A1) as
+      // exact integer counts + integer-inequality keep verdict — planted
+      // features per doc_id exercise every rule both ways: bullet lines
+      // (i%5==0), ellipsis lines (i%7==0), '#' symbol runs (i%11==0),
+      // non-alpha numeric words (i%13==0), a stopword-rich tail (i%3==0);
+      // short word-salad docs fail the 50-word floor naturally. Narrow
+      // per-row pass, no shuffle.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(8, col("doc_id"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, text) =>
+          val sb = new StringBuilder(text)
+          if (i % 5 == 0) sb.append("\n- alpha item\n- beta item\n* gamma item")
+          if (i % 7 == 0) sb.append("\ntrailing thought...\nanother one…")
+          if (i % 11 == 0) sb.append(" ").append("# " * ((i % 4).toInt + 1)).append("#")
+          if (i % 13 == 0) sb.append("\n12345 67890 11111 22222")
+          if (i % 3 == 0) sb.append("\nthe cat wants to be part of and that have fun with it")
+          val g = Quality.gopher(sb.toString)
+          (i, g.nWords, g.wordChars, g.nLines, g.hashCount, g.ellipsisCount,
+            g.bulletLines, g.ellipsisLines, g.alphaWords, g.stopwordHits,
+            if (g.keep) 1 else 0)
+        })
+        .toDF("doc_id", "n_words", "word_chars", "n_lines", "hash_count",
+          "ellipsis_count", "bullet_lines", "ellipsis_lines", "alpha_words",
+          "stopword_hits", "keep")
+        .sortWithinPartitions("doc_id")
+    }),
+    "q63_stratified_sample" -> ((s, dir) => {
+      // deterministic corpus mixing: per-language keep rates over a 60-bit
+      // md5 coordinate (md5 hex is byte-identical across engines, unlike
+      // xxhash64) — the oracle recomputes the exact coordinate and replays
+      // the binary-fraction thresholds as integer literals. Pure narrow
+      // filter: zero shuffle; the rate map folds to a literal CASE chain.
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.125),
+          defaultRate = 0.0625, salt = "mix1")
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashCoord(col("doc_id"), "mix1").as("coord"))
+        .orderBy("doc_id")
+    }),
+    "q64_pack_sequences" -> ((s, dir) => {
+      // concat-and-chunk training-shard assignment: global token-stream
+      // positions via the two-phase scan (per-partition sums + broadcast
+      // offsets) — the naive `sum() OVER (ORDER BY id)` window runs the
+      // whole corpus in ONE task. Tokens = the q12-validated whitespace
+      // counter; budget = 512 tokens per shard.
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        GraftFunctions.token_count(col("text")).cast("long").as("toks"))
+      Pack.chunkAssign(docs, "doc_id", "toks", 512L)
+        .orderBy("doc_id")
+    }),
+    "q65_host_cap" -> ((s, dir) => {
+      // host-level frequency cap: at most 10 docs per source, smallest
+      // doc_id first — two-phase (partition-local prune → cap-bounded
+      // global rank → semi join back) so a hot host's rows never
+      // serialize into one reducer's sort.
+      Sampling.capPerGroup(t(s, dir, "documents"), "source", "doc_id", 10)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2172,5 +2234,83 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q62: the oracle reconstructs the planted page and regenerates every
+    // Gopher statistic independently — all counts integer, the keep
+    // verdict replayed as the same integer inequalities
+    "q62_gopher_rules" ->
+      """WITH d AS (SELECT doc_id AS i, text FROM documents),
+        |pg AS (SELECT i, text
+        |  || CASE WHEN i % 5 = 0 THEN chr(10) || '- alpha item' || chr(10)
+        |       || '- beta item' || chr(10) || '* gamma item' ELSE '' END
+        |  || CASE WHEN i % 7 = 0 THEN chr(10) || 'trailing thought...'
+        |       || chr(10) || 'another one…' ELSE '' END
+        |  || CASE WHEN i % 11 = 0 THEN ' ' || repeat('# ', CAST(i % 4 AS INT) + 1)
+        |       || '#' ELSE '' END
+        |  || CASE WHEN i % 13 = 0 THEN chr(10) || '12345 67890 11111 22222' ELSE '' END
+        |  || CASE WHEN i % 3 = 0 THEN chr(10)
+        |       || 'the cat wants to be part of and that have fun with it' ELSE '' END
+        |  AS page FROM d),
+        |w AS (SELECT i, page,
+        |    list_filter(string_split_regex(page, '[ \n\t\f]+'), x -> x <> '') AS words,
+        |    list_filter(string_split(page, chr(10)), x -> x <> '') AS lines
+        |  FROM pg),
+        |st AS (SELECT i,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS word_chars,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(length(page) - length(replace(page, '#', '')) AS BIGINT) AS hash_count,
+        |    CAST((length(page) - length(replace(page, '...', ''))) // 3 AS BIGINT) AS ellipsis_count,
+        |    CAST(len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> right(l, 3) = '...' OR right(l, 1) = '…')) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+        |      sw -> list_contains(list_transform(words, x -> lower(x)), sw))) AS BIGINT) AS stopword_hits
+        |  FROM w)
+        |SELECT i AS doc_id, n_words, word_chars, n_lines, hash_count,
+        |  ellipsis_count, bullet_lines, ellipsis_lines, alpha_words, stopword_hits,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+        |    AND 10 * (hash_count + ellipsis_count) <= n_words
+        |    AND 10 * bullet_lines <= 9 * n_lines
+        |    AND 10 * ellipsis_lines <= 3 * n_lines
+        |    AND 5 * alpha_words >= 4 * n_words
+        |    AND stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM st ORDER BY doc_id""".stripMargin,
+    // q63: the exact 60-bit md5 coordinate recomputed in SQL; thresholds
+    // are the binary-fraction rate × 2^60 integer literals
+    "q63_stratified_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15))::BIGINT AS coord
+        |  FROM documents)
+        |SELECT doc_id, lang, coord FROM d
+        |WHERE coord < CASE lang
+        |  WHEN 'en' THEN 1152921504606846976
+        |  WHEN 'de' THEN 576460752303423488
+        |  WHEN 'es' THEN 288230376151711744
+        |  WHEN 'zh' THEN 144115188075855872
+        |  ELSE 72057594037927936 END
+        |ORDER BY doc_id""".stripMargin,
+    // q64: the oracle uses the naive single-partition window the engine
+    // deliberately avoids — same math, opposite plan shape
+    "q64_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \n\t\f]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_pos
+        |  FROM d),
+        |sh AS (SELECT doc_id, n_tokens, start_pos,
+        |    CAST(start_pos // 512 AS BIGINT) AS shard_start,
+        |    CAST(greatest(start_pos + n_tokens - 1, start_pos) // 512 AS BIGINT) AS shard_end
+        |  FROM c)
+        |SELECT doc_id, n_tokens, start_pos, shard_start, shard_end,
+        |  CAST(CASE WHEN shard_end > shard_start THEN 1 ELSE 0 END AS INT) AS spans_boundary
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q65_host_cap" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
   )
 }

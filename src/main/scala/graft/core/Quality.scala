@@ -136,6 +136,101 @@ object Quality {
     Repetition(dup, top, total)
   }
 
+  /** Gopher document-filter statistics (Rae et al. 2021 Table A1) as exact
+    * INTEGERS — every rule is an integer inequality, so the verdict has no
+    * float surface and an oracle can replay it byte-exactly (house style,
+    * like [[repetition]]).
+    *
+    * Definitions (the oracle contract):
+    *   - words = `[ \n\t\f]+`-split non-empty runs (the WhitespaceTokenizer
+    *     alphabet); `wordChars` = Σ word lengths
+    *   - lines = `\n`-split NON-EMPTY lines
+    *   - `hashCount` = occurrences of '#'; `ellipsisCount` = leftmost
+    *     non-overlapping occurrences of "..." (replace-count semantics)
+    *   - `bulletLines` = lines whose FIRST char is '-', '*' or '•' (no
+    *     trimming); `ellipsisLines` = lines ending in "..." or '…'
+    *   - `alphaWords` = words containing ≥1 ASCII letter (ASCII only, so
+    *     both engines' regex semantics agree)
+    *   - `stopwordHits` = DISTINCT members of the Gopher 8-word list
+    *     {the,be,to,of,and,that,have,with} present as a lowercased word
+    *
+    * `keep` is the conjunction of the Gopher rules, integerized:
+    *   50 ≤ words ≤ 100000; 3·words ≤ wordChars ≤ 10·words (mean word
+    *   length in [3,10]); 10·(hash+ellipsis) ≤ words (symbol ratio ≤ 0.1);
+    *   10·bulletLines ≤ 9·lines (≤90% bullets); 10·ellipsisLines ≤ 3·lines
+    *   (≤30% ellipsis); 5·alphaWords ≥ 4·words (≥80% alpha words);
+    *   stopwordHits ≥ 2. Line rules are vacuously true when lines = 0.
+    */
+  final case class Gopher(
+      nWords: Long, wordChars: Long, nLines: Long,
+      hashCount: Long, ellipsisCount: Long,
+      bulletLines: Long, ellipsisLines: Long,
+      alphaWords: Long, stopwordHits: Long) {
+    def keep: Boolean =
+      nWords >= 50 && nWords <= 100000 &&
+        3 * nWords <= wordChars && wordChars <= 10 * nWords &&
+        10 * (hashCount + ellipsisCount) <= nWords &&
+        10 * bulletLines <= 9 * nLines &&
+        10 * ellipsisLines <= 3 * nLines &&
+        5 * alphaWords >= 4 * nWords &&
+        stopwordHits >= 2
+  }
+
+  private val gopherStop =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopher(text: String): Gopher = {
+    if (text == null || text.isEmpty) return Gopher(0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val words = text.split("[ \n\t\f]+").filter(_.nonEmpty)
+    val nWords = words.length.toLong
+    var wordChars = 0L
+    var alphaWords = 0L
+    val stopSeen = new Array[Boolean](gopherStop.length)
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      wordChars += word.length
+      var hasAlpha = false
+      var i = 0
+      while (i < word.length && !hasAlpha) {
+        val c = word.charAt(i)
+        hasAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        i += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      val lower = word.toLowerCase(java.util.Locale.ROOT)
+      var s = 0
+      while (s < gopherStop.length) {
+        if (!stopSeen(s) && lower == gopherStop(s)) stopSeen(s) = true
+        s += 1
+      }
+      w += 1
+    }
+    val stopwordHits = stopSeen.count(identity).toLong
+    var hashCount = 0L
+    var i = 0
+    while (i < text.length) { if (text.charAt(i) == '#') hashCount += 1; i += 1 }
+    // leftmost non-overlapping "..." — identical to replace-count on both
+    // engines: (len(text) - len(replace(text, '...', ''))) / 3
+    var ellipsisCount = 0L
+    var j = text.indexOf("...")
+    while (j >= 0) { ellipsisCount += 1; j = text.indexOf("...", j + 3) }
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val nLines = lines.length.toLong
+    var bulletLines = 0L
+    var ellipsisLines = 0L
+    var l = 0
+    while (l < lines.length) {
+      val line = lines(l)
+      val c0 = line.charAt(0)
+      if (c0 == '-' || c0 == '*' || c0 == '•') bulletLines += 1
+      if (line.endsWith("...") || line.charAt(line.length - 1) == '…') ellipsisLines += 1
+      l += 1
+    }
+    Gopher(nWords, wordChars, nLines, hashCount, ellipsisCount,
+      bulletLines, ellipsisLines, alphaWords, stopwordHits)
+  }
+
   private val bpeish = java.util.regex.Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
 

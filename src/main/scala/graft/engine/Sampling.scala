@@ -1,0 +1,113 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data curation: deterministic
+  * stratified sampling (source/language mixing weights) and per-group
+  * document caps (host-level frequency limits a la Common-Crawl curation).
+  *
+  * Both are defined so a SQL oracle can replay them bit-exactly and both
+  * keep the corpus-side plan narrow — sampling is a pure filter (zero
+  * shuffle); the cap prunes locally before anything wide runs, so a hot
+  * host never serializes one reducer's sort.
+  */
+object Sampling {
+
+  /** Deterministic uniform hash of `key` into [0, 2^60) — the sampling
+    * coordinate. md5 is used (NOT xxhash64) deliberately: both Spark and
+    * DuckDB expose byte-identical md5 hex, so an oracle can recompute the
+    * exact coordinate; 15 hex digits = 60 bits keeps `conv`'s long exact.
+    * The salt decorrelates independent sampling decisions over the same
+    * keys (different salt → fresh coordinate).
+    */
+  def hashCoord(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Stratified sample: keep a row iff its hash coordinate falls under its
+    * stratum's rate threshold. `rates` maps stratum value → keep fraction
+    * in [0,1]; strata absent from the map use `defaultRate`.
+    *
+    * Determinism contract: the decision depends ONLY on (key, salt, rate) —
+    * re-running on any cluster size, partitioning, or row order keeps the
+    * same rows, so downstream pipelines can re-derive the sample instead
+    * of persisting it. Rates that are exact binary fractions (k/2^n) make
+    * the threshold integer-exact; arbitrary doubles are fine operationally
+    * (both engines truncate the same IEEE product) but the binary-fraction
+    * form is what the oracle pins.
+    *
+    * Scale: narrow filter, zero shuffle, codegen'd md5 — the rate map
+    * becomes a literal CASE chain, fine for the usual dozens of strata.
+    * For a rates TABLE (thousands of strata) join it broadcast instead:
+    *   df.join(broadcast(ratesDf), Seq(strataCol), "left")
+    *     .filter(hashCoord(col(keyCol), salt) < col("threshold"))
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String): DataFrame = {
+    require(
+      (rates.valuesIterator ++ Iterator(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "stratifiedSample: rates must be in [0,1]")
+    val coord = hashCoord(col(keyCol), salt)
+    val two60 = 1L << 60
+    def thresholdOf(r: Double): Long =
+      if (r >= 1.0) two60 else (r * two60.toDouble).toLong
+    val threshold = rates.foldLeft(lit(thresholdOf(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === lit(stratum), lit(thresholdOf(r))).otherwise(acc)
+    }
+    df.filter(coord < threshold)
+  }
+
+  /** Keep at most `k` rows per group, the ones with the SMALLEST `orderCol`
+    * (host-level caps: "at most k pages per host, earliest first").
+    *
+    * Contract: `orderCol` must be unique within a group (a document id) —
+    * that makes the kept set total-order deterministic. `groupCol` is
+    * compared as string, `orderCol` as long (both cast internally).
+    *
+    * Scale shape — why not one `row_number` window over the corpus: a
+    * window partitioned by group shuffles EVERY row of a hot host into a
+    * single task's sort (10^9 rows of one domain → one reducer). Instead:
+    *   1. local prune: per input partition, keep the k smallest orderCol
+    *     per group (sortWithinPartitions + one linear pass — narrow);
+    *     survivors ≤ k·numPartitions per group, regardless of skew;
+    *   2. global rank over the pruned (group, order) pairs only — the
+    *     window input is cap-bounded, so the hot-host sort is tiny;
+    *   3. left-semi join the winners back — the only full-corpus exchange,
+    *     hashed on (group, order), so a hot GROUP still spreads across
+    *     reducers because order varies.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"capPerGroup: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = "__cap_g"
+    val o = "__cap_o"
+    val keyed = df
+      .withColumn(g, col(groupCol).cast("string"))
+      .withColumn(o, col(orderCol).cast("long"))
+    val pruned = keyed.select(col(g), col(o))
+      .as[(String, Long)]
+      .sortWithinPartitions(col(g), col(o))
+      .mapPartitions { it =>
+        // rows arrive grouped by g and ascending in o: run-length count
+        var cur: String = null
+        var n = 0
+        it.filter { case (grp, _) =>
+          if (grp != cur) { cur = grp; n = 0 }
+          n += 1
+          n <= k
+        }
+      }
+      .toDF(g, o)
+    val winners = pruned
+      .withColumn("__rn", row_number().over(Window.partitionBy(g).orderBy(o)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+    keyed.join(winners, Seq(g, o), "left_semi").drop(g, o)
+  }
+}

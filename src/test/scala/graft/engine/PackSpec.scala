@@ -1,0 +1,73 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Sequence packing (Pack.chunkAssign): the two-phase global cumsum must
+  * reproduce the sequential reference exactly regardless of input
+  * partitioning, and the chunk arithmetic must handle the boundary cases
+  * (exact fills, zero-token docs, multi-shard spans).
+  */
+class PackSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def reference(toks: Seq[(Long, Long)], budget: Long) = {
+    var pos = 0L
+    toks.sortBy(_._1).map { case (id, t) =>
+      val start = pos
+      pos += t
+      val end = pos
+      val ss = start / budget
+      val se = math.max(end - 1, start) / budget
+      (id, t, start, ss, se, if (se > ss) 1 else 0)
+    }
+  }
+
+  test("matches the sequential reference on random sizes across partitionings") {
+    import spark.implicits._
+    val data = (0 until 500).map(i => (i.toLong, (i * 37 % 97).toLong))
+    val want = reference(data, 100L)
+    for (parts <- Seq(1, 3, 17)) {
+      val df = data.toDF("id", "toks").repartition(parts)
+      val got = Pack.chunkAssign(df, "id", "toks", 100L)
+        .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("boundary cases: exact fill, zero tokens, multi-shard span") {
+    import spark.implicits._
+    // doc 0 fills shard 0 exactly; doc 1 has zero tokens AT the cut and
+    // must sit in shard 1 (its start), not span; doc 2 spans shards 1-3
+    val df = Seq((0L, 10L), (1L, 0L), (2L, 25L), (3L, 1L))
+      .toDF("id", "toks").repartition(2)
+    val got = Pack.chunkAssign(df, "id", "toks", 10L)
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 10L, 0L, 0L, 0L, 0),
+      (1L, 0L, 10L, 1L, 1L, 0),
+      (2L, 25L, 10L, 1L, 3L, 1),
+      (3L, 1L, 35L, 3L, 3L, 0)))
+  }
+
+  test("null token counts pack as zero; id order is the stream order") {
+    import spark.implicits._
+    val df = Seq((2L, Some(5L)), (0L, None), (1L, Some(7L)))
+      .toDF("id", "toks")
+    val got = Pack.chunkAssign(df, "id", "toks", 4L)
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 0L, 0L, 0L, 0L, 0),
+      (1L, 7L, 0L, 0L, 1L, 1),
+      (2L, 5L, 7L, 1L, 2L, 1)))
+  }
+
+  test("rejects budget < 1 and negative token counts") {
+    import spark.implicits._
+    val df = Seq((0L, 5L)).toDF("id", "toks")
+    intercept[IllegalArgumentException](Pack.chunkAssign(df, "id", "toks", 0L))
+    val bad = Seq((0L, -3L)).toDF("id", "toks")
+    val e = intercept[Exception](Pack.chunkAssign(bad, "id", "toks", 8L).collect())
+    assert(e.getMessage != null)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators: deterministic stratified sampling and
+  * per-group caps (Sampling.scala) — determinism, rate semantics, the
+  * two-phase cap's equivalence to the naive global window, and the
+  * zero-shuffle plan shape of the sample filter.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr")
+    }.toDF("id", "lang").repartition(7)
+  }
+
+  test("stratifiedSample: rate 1 keeps every row, rate 0 keeps none") {
+    val df = corpus(200)
+    val all = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0, "de" -> 1.0, "fr" -> 1.0), 1.0, "s")
+    assert(all.count() == 200)
+    val none = Sampling.stratifiedSample(df, "id", "lang", Map.empty, 0.0, "s")
+    assert(none.count() == 0)
+  }
+
+  test("stratifiedSample: deterministic across runs and partitionings") {
+    import spark.implicits._
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "id", "lang", rates, 0.125, "mix")
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = ids(corpus(300))
+    val b = ids(corpus(300).repartition(2))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("stratifiedSample: per-stratum keep fraction tracks the rate") {
+    import spark.implicits._
+    val kept = Sampling.stratifiedSample(corpus(3000), "id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.9, salt = "frac")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // 1000 rows per stratum; md5 is uniform — generous ±40% bands
+    assert(kept("en") > 300 && kept("en") < 700, s"en=${kept("en")}")
+    assert(kept("de") > 30 && kept("de") < 220, s"de=${kept("de")}")
+    assert(kept("fr") > 780 && kept("fr") < 1000, s"fr=${kept("fr")}")
+  }
+
+  test("stratifiedSample: a different salt draws a different sample") {
+    import spark.implicits._
+    val df = corpus(1000)
+    def ids(salt: String) =
+      Sampling.stratifiedSample(df, "id", "lang", Map.empty, 0.5, salt)
+        .select("id").as[Long].collect().toSet
+    val s1 = ids("a")
+    val s2 = ids("b")
+    assert(s1 != s2)
+    // independent draws at rate .5 overlap on ~25% of rows, not ~50%
+    assert((s1 & s2).size < 400)
+  }
+
+  test("stratifiedSample: pure narrow filter — no exchange in the plan") {
+    import spark.implicits._
+    val flat = (0 until 100).map(i => (i.toLong, "en")).toDF("id", "lang")
+    val plan = Sampling.stratifiedSample(flat, "id", "lang",
+      Map("en" -> 0.5), 0.5, "s").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("stratifiedSample: rejects rates outside [0,1]") {
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(corpus(10), "id", "lang", Map("en" -> 1.5), 0.5, "s"))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(corpus(10), "id", "lang", Map.empty, -0.1, "s"))
+  }
+
+  test("capPerGroup equals the naive global window, including on a hot group") {
+    import spark.implicits._
+    // group "hot" holds 90% of rows; ids shuffled so partition-local order
+    // differs from global order
+    val rows = (0 until 2000).map { i =>
+      (if (i % 10 == 0) s"g${i % 7}" else "hot", (i * 131 % 2000).toLong, s"p$i")
+    }
+    val df = rows.toDF("grp", "id", "payload").repartition(13)
+    for (k <- Seq(1, 5, 64)) {
+      val got = Sampling.capPerGroup(df, "grp", "id", k)
+        .select("grp", "id", "payload").as[(String, Long, String)].collect().toSet
+      val want = df
+        .withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("id")))
+        .filter(col("rn") <= k).drop("rn")
+        .select("grp", "id", "payload").as[(String, Long, String)].collect().toSet
+      assert(got == want, s"k=$k: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("capPerGroup: k beyond every group size keeps the corpus unchanged") {
+    import spark.implicits._
+    val df = corpus(150)
+    val out = Sampling.capPerGroup(df, "lang", "id", 1000)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (0L until 150L))
+  }
+
+  test("capPerGroup preserves all original columns and rejects k < 1") {
+    val df = corpus(60).withColumn("extra", col("id") * 2)
+    val out = Sampling.capPerGroup(df, "lang", "id", 3)
+    assert(out.columns.toSeq == Seq("id", "lang", "extra"))
+    assert(out.count() == 9)
+    intercept[IllegalArgumentException](Sampling.capPerGroup(df, "lang", "id", 0))
+  }
+}
