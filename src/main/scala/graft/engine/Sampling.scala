@@ -65,20 +65,32 @@ object Sampling {
     * (host-level caps: "at most k pages per host, earliest first").
     *
     * Contract: `orderCol` must be unique within a group (a document id) —
-    * that makes the kept set total-order deterministic. `groupCol` is
-    * compared as string, `orderCol` as long (both cast internally).
+    * that makes the kept set total-order deterministic. Rows whose group
+    * or order is null are DROPPED (they cannot rank; the semi join never
+    * matches null keys).
     *
-    * Scale shape — why not one `row_number` window over the corpus: a
-    * window partitioned by group shuffles EVERY row of a hot host into a
-    * single task's sort (10^9 rows of one domain → one reducer). Instead:
+    * Scale shape:
     *   1. local prune: per input partition, keep the k smallest orderCol
-    *     per group (sortWithinPartitions + one linear pass — narrow);
+    *     per group (sortWithinPartitions + one linear run-length pass over
+    *     the (group, order) PAIRS only — narrow, two columns wide);
     *     survivors ≤ k·numPartitions per group, regardless of skew;
-    *   2. global rank over the pruned (group, order) pairs only — the
-    *     window input is cap-bounded, so the hot-host sort is tiny;
-    *   3. left-semi join the winners back — the only full-corpus exchange,
-    *     hashed on (group, order), so a hot GROUP still spreads across
-    *     reducers because order varies.
+    *   2. global rank over the pruned pairs — cap-bounded input, and
+    *     Spark 4's WindowGroupLimit prunes it again on both exchange
+    *     sides;
+    *   3. left-semi join the winners back to the full-width corpus —
+    *     winners are ≤ k·nGroups rows of two columns, so AQE broadcasts
+    *     them in the normal case and the corpus side NEVER shuffles
+    *     (verified plan: BroadcastHashJoin LeftSemi over the raw scan).
+    *
+    * Honest delta vs the naive `row_number() OVER (PARTITION BY group)`
+    * filter: since Spark 3.5, WindowGroupLimit already gives the naive
+    * window a partition-local prune (a hot host's reducer receives
+    * ≤ k·numPartitions rows, not the whole host). What the naive shape
+    * still pays and this one avoids: the surviving rows cross the wire
+    * FULL-WIDTH (every column shuffled through the rank exchange), while
+    * here only (group, order) pairs shuffle and the corpus keeps its
+    * scan-local layout — the difference grows with row width (web pages:
+    * kilobytes of text per row vs ~tens of bytes of key).
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
       k: Int): DataFrame = {
@@ -91,6 +103,9 @@ object Sampling {
       .withColumn(g, col(groupCol).cast("string"))
       .withColumn(o, col(orderCol).cast("long"))
     val pruned = keyed.select(col(g), col(o))
+      // nulls cannot rank and would throw in the primitive-Long decode
+      // under ANSI; the semi join below drops them from the output anyway
+      .filter(col(g).isNotNull && col(o).isNotNull)
       .as[(String, Long)]
       .sortWithinPartitions(col(g), col(o))
       .mapPartitions { it =>

@@ -105,6 +105,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().sorted.toSeq == (0L until 150L))
   }
 
+  test("capPerGroup drops rows whose group or order is null") {
+    import spark.implicits._
+    val df = Seq[(String, java.lang.Long, String)](
+      ("a", 1L, "keep1"), ("a", 2L, "keep2"), ("a", 3L, "capped"),
+      (null, 4L, "null-group"), ("b", null, "null-order"), ("b", 5L, "keep3"),
+    ).toDF("grp", "id", "payload")
+    val out = Sampling.capPerGroup(df, "grp", "id", 2)
+      .select("payload").as[String].collect().toSet
+    assert(out == Set("keep1", "keep2", "keep3"))
+  }
+
+  test("capPerGroup plan: winners broadcast, corpus side never shuffles") {
+    import spark.implicits._
+    // enough rows that the corpus would be a real shuffle if the join
+    // hashed it; winners (k·nGroups keys of two narrow columns) broadcast
+    val df = (0 until 5000)
+      .map(i => (s"h${i % 11}", i.toLong, "x" * 64))
+      .toDF("grp", "id", "payload").repartition(13)
+    val capped = Sampling.capPerGroup(df, "grp", "id", 8)
+    capped.queryExecution.toRdd.count()
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"winners must broadcast into a left-semi join:\n$plan")
+    // the only hash exchange is the cap-bounded pruned-pairs rank — the
+    // full-width corpus never crosses the wire (count the FINAL plan only;
+    // the adaptive toString appends the initial plan below it)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$plan")
+  }
+
   test("capPerGroup preserves all original columns and rejects k < 1") {
     val df = corpus(60).withColumn("extra", col("id") * 2)
     val out = Sampling.capPerGroup(df, "lang", "id", 3)
