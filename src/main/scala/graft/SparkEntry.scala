@@ -1271,7 +1271,103 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy("doc_id")
     }),
+    "q66_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality bucketing (Wenzek et al. 2020): fit a
+      // unigram model on the corpus itself, score each document's
+      // cross-entropy, split head/middle/tail. The bucket compares the
+      // BIT-EXACT integer-ratio mean_freq (one IEEE division of two
+      // integer sums — identical in any engine), never the float
+      // cross-entropy, which is emitted rounded as a score column. Fit =
+      // one token shuffle with map-side combine; score = narrow explode
+      // + broadcast model join + per-doc partial agg (a doc's tokens
+      // stay in one partition, so one partial row per doc crosses the
+      // exchange).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lm = LangModel.fitUnigram(docs, "text")
+      LangModel.scoreDocs(docs, lm, "doc_id", "text",
+          tauHead = QmTauHead, tauTail = QmTauTail)
+        .select(col("doc_id"), col("n_tokens"), col("freq_mass"),
+          col("mean_freq"), col("rel_freq"), col("xent"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+    "q67_url_blocklist" -> ((s, dir) => {
+      // RefinedWeb-style URL filtering: hard domain blocklist (broadcast
+      // join on the registered domain, UT1-style) + weighted soft-word
+      // score, both integer-exact. URLs are built closed-form from
+      // doc_id (incl. a co.uk multi-label-suffix case so the registered-
+      // domain logic is exercised, not just last-two-labels); bad words
+      // are planted on a lattice ON TOP of any natural occurrences in
+      // the corpus text — the oracle counts both. Corpus side stays
+      // narrow: regexp host parse + array built-ins, one broadcast join,
+      // zero shuffles.
+      val s2 = s
+      import s2.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 23 === 5, lit("Shop.Site5.CO.UK"))
+            .otherwise(concat(lit("sub"), col("doc_id") % 5,
+              lit(".site"), col("doc_id") % 23, lit(".com"))),
+          when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+          lit("/page/"), col("doc_id")))
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" casino casino buy"))
+            .when(col("doc_id") % 9 === 1, lit(" viagra"))
+            .otherwise(lit(""))))
+      val blocked = Seq("site3.com", "site7.com", "site11.com", "site5.co.uk")
+        .toDF("domain")
+      Blocklist.filterDocs(docs, "url", "text", blocked,
+          Map("casino" -> 5, "viagra" -> 10, "buy" -> 1), maxBadPerMille = 8L)
+        .select(col("doc_id"), col("host"), col("reg_domain"),
+          col("host_blocked"), col("n_tokens"), col("bad_score"), col("keep"))
+        .orderBy("doc_id")
+    }),
+    "q68_line_dedup_local" -> ((s, dir) => {
+      // Intra-document repeated-line removal — the per-page half of
+      // CCNet boilerplate dedup: wrap each doc into 6-token lines with
+      // an ad-banner line planted after every 4th line (same line text
+      // each time → in-page repeats) and the first body line re-appended
+      // on doc_id%3==0. dedupLinesWithinDoc keeps only each line's first
+      // in-page occurrence — a PURE NARROW per-row expression, zero
+      // shuffles: the ideal corpus-scale shape. The oracle rebuilds the
+      // page and replays first-occurrence keeping via window functions,
+      // down to the sha256 of the cleaned text.
+      val s2 = s
+      import s2.implicits._
+      val built = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartitionByRange(8, col("doc_id"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, text) =>
+          val groups = text.split(" ", -1).grouped(6).map(_.mkString(" ")).toArray
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < groups.length) {
+            buf += groups(j)
+            if (j % 4 == 3) buf += "ad banner buy now"
+            j += 1
+          }
+          if (i % 3 == 0 && groups.nonEmpty) buf += groups(0)
+          (i, buf.mkString("\n"))
+        })
+        .toDF("doc_id", "text")
+        .withColumn("n_lines", size(split(col("text"), "\n")).cast("long"))
+      Dedup.dedupLinesWithinDoc(built, "text")
+        .select(col("doc_id"), col("n_lines"),
+          size(split(col("text"), "\n")).cast("long").as("n_kept"),
+          sha2(col("text"), 256).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** q66 bucket thresholds over mean corpus token frequency: documents
+    * whose tokens average ≥ tauHead corpus occurrences are 'head'
+    * (common fluent language), < tauTail are 'tail'. Values chosen to
+    * cut the synthetic corpus into three non-degenerate strata at every
+    * SF (the token frequencies scale with corpus size, so thresholds are
+    * expressed relative to corpus scale in the oracle too — both sides
+    * use these exact literals).
+    */
+  private val QmTauHead: Double = 1.036
+  private val QmTauTail: Double = 1.030
 
   def oracleSql: Map[String, String] = Map(
     "q01_pushdown_agg" ->
@@ -2312,5 +2408,105 @@ object SparkEntry {
         |  SELECT doc_id, source, lang,
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // q66: the oracle refits the unigram model from scratch and replays the
+    // scoring chain; mean_freq / rel_freq are chains of correctly-rounded
+    // IEEE divisions over exact integers (bit-identical across engines) and
+    // the bucket compares rel_freq only; xent is the one float-sum column,
+    // rounded to 4dp on both sides.
+    "q66_lm_perplexity" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |lm AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS vocab FROM lm),
+        |sc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c) AS BIGINT) AS freq_mass,
+        |    sum(ln(CAST(c AS DOUBLE))) AS sum_ln
+        |  FROM toks JOIN lm USING (t) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, freq_mass,
+        |  CAST(freq_mass AS DOUBLE) / n_tokens AS mean_freq,
+        |  (CAST(freq_mass AS DOUBLE) / n_tokens) / (CAST(total AS DOUBLE) / vocab)
+        |    AS rel_freq,
+        |  round(ln(CAST(total AS DOUBLE)) - sum_ln / n_tokens, 4) AS xent,
+        |  CASE WHEN (CAST(freq_mass AS DOUBLE) / n_tokens) / (CAST(total AS DOUBLE) / vocab)
+        |         >= $QmTauHead THEN 'head'
+        |       WHEN (CAST(freq_mass AS DOUBLE) / n_tokens) / (CAST(total AS DOUBLE) / vocab)
+        |         < $QmTauTail THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM sc, tot ORDER BY doc_id""".stripMargin,
+    // q67: url/host/registered-domain are closed forms of doc_id (the engine
+    // parses the real messy url; the oracle states the expected answer);
+    // bad-word counts combine NATURAL occurrences in the corpus text
+    // (list_filter count) with the planted lattice, so the counting path is
+    // exercised, not just the plant.
+    "q67_url_blocklist" ->
+      """WITH d AS (SELECT doc_id AS i, text FROM documents),
+        |m AS (
+        |  SELECT i,
+        |    CASE WHEN i % 23 = 5 THEN 'shop.site5.co.uk'
+        |         ELSE 'sub' || CAST(i % 5 AS VARCHAR) || '.site'
+        |           || CAST(i % 23 AS VARCHAR) || '.com' END AS host,
+        |    CASE WHEN i % 23 = 5 THEN 'site5.co.uk'
+        |         ELSE 'site' || CAST(i % 23 AS VARCHAR) || '.com' END AS reg_domain,
+        |    CAST(CASE WHEN (i % 23) IN (3, 5, 7, 11) THEN 1 ELSE 0 END AS INTEGER)
+        |      AS host_blocked,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+        |      + CASE WHEN i % 6 = 0 THEN 3 WHEN i % 9 = 1 THEN 1 ELSE 0 END AS n_tokens,
+        |    5 * (len(list_filter(string_split(text, ' '), x -> x = 'casino'))
+        |          + CASE WHEN i % 6 = 0 THEN 2 ELSE 0 END)
+        |    + 10 * (len(list_filter(string_split(text, ' '), x -> x = 'viagra'))
+        |          + CASE WHEN i % 6 <> 0 AND i % 9 = 1 THEN 1 ELSE 0 END)
+        |    + 1 * (len(list_filter(string_split(text, ' '), x -> x = 'buy'))
+        |          + CASE WHEN i % 6 = 0 THEN 1 ELSE 0 END) AS bad_score
+        |  FROM d)
+        |SELECT i AS doc_id, host, reg_domain, host_blocked,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(bad_score AS BIGINT) AS bad_score,
+        |  CAST(CASE WHEN host_blocked = 0 AND bad_score * 1000 <= 8 * n_tokens
+        |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // q68: rebuild the 6-token-wrapped page with the planted ad-banner and
+    // re-appended first line, then replay first-occurrence line keeping via
+    // windows down to the sha256 of the cleaned text.
+    "q68_line_dedup_local" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ws)) > 3950
+        |    THEN error('q68 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |body AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j, 0 AS sub,
+        |    array_to_string(ws[6*j+1 : 6*j+6], ' ') AS line
+        |  FROM d, range(0, 700) t(j) WHERE 6*j < len(ws)),
+        |ban AS (
+        |  SELECT doc_id, j, 1 AS sub, 'ad banner buy now' AS line
+        |  FROM body WHERE j % 4 = 3),
+        |app AS (
+        |  SELECT doc_id, 1000000 AS j, 0 AS sub,
+        |    array_to_string(ws[1:6], ' ') AS line
+        |  FROM d WHERE doc_id % 3 = 0),
+        |lin AS (
+        |  SELECT * FROM body UNION ALL SELECT * FROM ban
+        |  UNION ALL SELECT * FROM app),
+        |ordd AS (
+        |  SELECT doc_id, line,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY j, sub) AS pos
+        |  FROM lin),
+        |firsts AS (
+        |  SELECT doc_id, line, pos,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS occ
+        |  FROM ordd),
+        |counts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ordd
+        |  GROUP BY doc_id),
+        |kept AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    sha256(string_agg(line, chr(10) ORDER BY pos)) AS clean_sha
+        |  FROM firsts WHERE occ = 1 GROUP BY doc_id)
+        |SELECT c.doc_id, c.n_lines, k.n_kept, k.clean_sha
+        |FROM counts c JOIN kept k USING (doc_id), guard WHERE guard.g = 0
+        |ORDER BY c.doc_id""".stripMargin,
   )
 }
