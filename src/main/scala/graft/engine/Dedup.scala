@@ -134,6 +134,35 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Intra-document repeated-line removal: within each document keep only
+    * the FIRST occurrence of every line, preserving order — the per-page
+    * half of CCNet-style boilerplate removal (navigation blocks, cookie
+    * banners and ad slots repeat inside one page long before they repeat
+    * across the corpus; RefinedWeb applies the same in-page pass before
+    * any global dedup).
+    *
+    * Unlike [[dedupLines]] this is a PURE NARROW transformation — the
+    * whole corpus-scale operator is a per-row expression (split →
+    * indexed filter on first-occurrence position → rejoin), zero
+    * shuffles, zero state: the ideal 100-TB shape. Cost is O(L²) array
+    * scans per document over the materialized line array (L = lines per
+    * doc, bounded by page size — never corpus size).
+    *
+    * Built-ins only (`filter` with index + `array_position`), no UDF;
+    * the line array is projected as its own column first so the
+    * optimizer does not inline the split into every lambda evaluation.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
+    val linesCol = "__graft_lines"
+    df.withColumn(linesCol, split(col(textCol), "\n"))
+      .withColumn(textCol,
+        array_join(
+          filter(col(linesCol),
+            (x, i) => array_position(col(linesCol), x) === (i + lit(1)).cast("long")),
+          "\n"))
+      .drop(linesCol)
+  }
+
   /** Corpus-wide line-level dedup (the CCNet/RefinedWeb pattern): a line is
     * kept only in the document holding its corpus-wide FIRST occurrence —
     * first = smallest (id, line index) — so boilerplate repeated across
@@ -183,35 +212,6 @@ object Dedup {
     * `maxLines` to widen the id range. Violations fail the job loudly
     * rather than silently mis-ordering first occurrences.
     */
-  /** Intra-document repeated-line removal: within each document keep only
-    * the FIRST occurrence of every line, preserving order — the per-page
-    * half of CCNet-style boilerplate removal (navigation blocks, cookie
-    * banners and ad slots repeat inside one page long before they repeat
-    * across the corpus; RefinedWeb applies the same in-page pass before
-    * any global dedup).
-    *
-    * Unlike [[dedupLines]] this is a PURE NARROW transformation — the
-    * whole corpus-scale operator is a per-row expression (split →
-    * indexed filter on first-occurrence position → rejoin), zero
-    * shuffles, zero state: the ideal 100-TB shape. Cost is O(L²) array
-    * scans per document over the materialized line array (L = lines per
-    * doc, bounded by page size — never corpus size).
-    *
-    * Built-ins only (`filter` with index + `array_position`), no UDF;
-    * the line array is projected as its own column first so the
-    * optimizer does not inline the split into every lambda evaluation.
-    */
-  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
-    val linesCol = "__graft_lines"
-    df.withColumn(linesCol, split(col(textCol), "\n"))
-      .withColumn(textCol,
-        array_join(
-          filter(col(linesCol),
-            (x, i) => array_position(col(linesCol), x) === (i + lit(1)).cast("long")),
-          "\n"))
-      .drop(linesCol)
-  }
-
   sealed trait FirstsMode
   object FirstsMode {
     /** Measure the repeated-line vocabulary and broadcast when it fits. */
