@@ -1356,6 +1356,79 @@ object SparkEntry {
           sha2(col("text"), 256).as("clean_sha"))
         .orderBy("doc_id")
     }),
+    "q69_curation_pipeline" -> ((s, dir) => {
+      // THE corpus-curation flagship — the shaping complement of the q59
+      // dedup pipeline: URL blocklist gate → in-page line dedup → LM
+      // quality bucketing (tail dropped) → stratified language mixing →
+      // per-domain caps → training-sequence packing, composed end-to-end
+      // over the documents table. Every stage decision is integer-exact
+      // or bit-exact-ratio and the oracle replays the WHOLE chain in SQL
+      // (domains closed-form; line windows; LM refit; md5 coordinate;
+      // rank cap; prefix-sum pack). Plan: narrow gate + wrap + dedup,
+      // one model-fit pass, one per-doc agg, narrow sample filter, the
+      // cap's pair-rank exchange, packing's range exchange.
+      val s2 = s
+      import s2.implicits._
+      val withUrl = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 23 === 5, lit("Shop.Site5.CO.UK"))
+            .otherwise(concat(lit("sub"), col("doc_id") % 5,
+              lit(".site"), col("doc_id") % 23, lit(".com"))),
+          lit("/page/"), col("doc_id")))
+      val blocked = Seq("site3.com", "site7.com", "site11.com", "site5.co.uk")
+        .toDF("domain")
+      // stage 1: hard domain gate + NATURAL soft-word score (no plants —
+      // the corpus's own occurrences decide)
+      val gated = Blocklist.filterDocs(withUrl, "url", "text", blocked,
+          Map("casino" -> 5, "viagra" -> 10, "buy" -> 1), maxBadPerMille = 8L)
+        .where(col("keep") === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("reg_domain"))
+      // stage 2: wrap into 6-token lines with the q68 in-page-repeat
+      // lattice, then intra-doc first-occurrence line dedup (pure narrow)
+      val wrapped = gated.as[(Long, String, String, String)]
+        .map { case (i, text, lang, dom) =>
+          val groups = text.split(" ", -1).grouped(6).map(_.mkString(" ")).toArray
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < groups.length) {
+            buf += groups(j)
+            if (j % 4 == 3) buf += "ad banner buy now"
+            j += 1
+          }
+          if (i % 3 == 0 && groups.nonEmpty) buf += groups(0)
+          (i, buf.mkString("\n"), lang, dom)
+        }
+        .toDF("doc_id", "text", "lang", "reg_domain")
+      // one eager checkpoint: the LM fit, the scalar collect, and the
+      // scoring pass each execute the frame — without it the narrow
+      // gate+wrap+dedup chain re-runs three times (q59's `clean` lesson)
+      val deduped = Dedup.dedupLinesWithinDoc(wrapped, "text")
+        .withColumn("flat", regexp_replace(col("text"), "\n", " "))
+        .localCheckpoint(true)
+      // stage 3: LM bucketing on the cleaned corpus; tail dropped
+      val scored = LangModel.scoreDocs(deduped,
+          LangModel.fitUnigram(deduped, "flat"), "doc_id", "flat",
+          tauHead = CurTauHead, tauTail = CurTauTail,
+          carry = Seq("lang", "reg_domain"))
+        .where(col("bucket") =!= "tail")
+      // stage 4: deterministic language mixing (md5 coordinate)
+      val sampled = Sampling.stratifiedSample(scored, "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.125),
+        defaultRate = 0.0625, salt = "cur1")
+      // stage 5: per-domain frequency cap (20 smallest doc_ids win)
+      val capped = Sampling.capPerGroup(sampled, "reg_domain", "doc_id", 20)
+        .select(col("doc_id"), col("lang"), col("reg_domain"), col("bucket"),
+          col("n_tokens"))
+        .localCheckpoint(true) // consumed twice below (pack + attribute join)
+      // stage 6: concat-and-chunk shard assignment over the survivors
+      Pack.chunkAssign(capped, "doc_id", "n_tokens", 512L)
+        .join(capped.select("doc_id", "lang", "reg_domain", "bucket"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("reg_domain"), col("bucket"),
+          col("n_tokens"), col("start_pos"), col("shard_start"),
+          col("shard_end"), col("spans_boundary"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q66 bucket thresholds over mean corpus token frequency: documents
@@ -1368,6 +1441,12 @@ object SparkEntry {
     */
   private val QmTauHead: Double = 1.036
   private val QmTauTail: Double = 1.030
+
+  /** q69 bucket thresholds (the cleaned, banner-bearing corpus has its own
+    * rel_freq distribution — probed the same way as q66's).
+    */
+  private val CurTauHead: Double = 1.065
+  private val CurTauTail: Double = 1.049
 
   def oracleSql: Map[String, String] = Map(
     "q01_pushdown_agg" ->
@@ -2508,5 +2587,99 @@ object SparkEntry {
         |SELECT c.doc_id, c.n_lines, k.n_kept, k.clean_sha
         |FROM counts c JOIN kept k USING (doc_id), guard WHERE guard.g = 0
         |ORDER BY c.doc_id""".stripMargin,
+    // q69: the full curation chain replayed — blocklist gate (closed-form
+    // domains + natural word counts), in-page line-dedup windows, LM refit
+    // on the CLEANED corpus, md5 sampling coordinate, domain-cap rank, and
+    // the naive-window pack the engine's two-phase scan must equal.
+    "q69_curation_pipeline" ->
+      s"""WITH d AS (SELECT doc_id AS i, text, lang,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ws)) > 3950
+        |    THEN error('q69 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |u AS (
+        |  SELECT i, lang, ws,
+        |    CASE WHEN i % 23 = 5 THEN 'site5.co.uk'
+        |         ELSE 'site' || CAST(i % 23 AS VARCHAR) || '.com' END AS reg_domain,
+        |    CASE WHEN (i % 23) IN (3, 5, 7, 11) THEN 1 ELSE 0 END AS blocked,
+        |    5 * len(list_filter(ws, x -> x = 'casino'))
+        |      + 10 * len(list_filter(ws, x -> x = 'viagra'))
+        |      + len(list_filter(ws, x -> x = 'buy')) AS bad_score,
+        |    len(list_filter(ws, x -> x <> '')) AS base_n
+        |  FROM d),
+        |g1 AS (SELECT i, lang, reg_domain, ws FROM u
+        |  WHERE blocked = 0 AND bad_score * 1000 <= 8 * base_n),
+        |body AS (
+        |  SELECT i, CAST(j AS INT) AS j, 0 AS sub,
+        |    array_to_string(ws[6*j+1 : 6*j+6], ' ') AS line
+        |  FROM g1, range(0, 700) t(j) WHERE 6*j < len(ws)),
+        |ban AS (
+        |  SELECT i, j, 1 AS sub, 'ad banner buy now' AS line
+        |  FROM body WHERE j % 4 = 3),
+        |app AS (
+        |  SELECT i, 1000000 AS j, 0 AS sub,
+        |    array_to_string(ws[1:6], ' ') AS line
+        |  FROM g1 WHERE i % 3 = 0),
+        |lin AS (
+        |  SELECT * FROM body UNION ALL SELECT * FROM ban
+        |  UNION ALL SELECT * FROM app),
+        |ordd AS (
+        |  SELECT i, line,
+        |    row_number() OVER (PARTITION BY i ORDER BY j, sub) AS pos
+        |  FROM lin),
+        |firsts AS (
+        |  SELECT i, line, pos,
+        |    row_number() OVER (PARTITION BY i, line ORDER BY pos) AS occ
+        |  FROM ordd),
+        |ktoks AS (
+        |  SELECT i, t FROM (
+        |    SELECT i, unnest(string_split(line, ' ')) AS t
+        |    FROM firsts WHERE occ = 1)
+        |  WHERE t <> ''),
+        |lm AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM ktoks GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS vocab FROM lm),
+        |sc AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c) AS BIGINT) AS freq_mass
+        |  FROM ktoks JOIN lm USING (t) GROUP BY i),
+        |bk AS (
+        |  SELECT i, n_tokens,
+        |    (CAST(freq_mass AS DOUBLE) / n_tokens) / (CAST(total AS DOUBLE) / vocab)
+        |      AS rel
+        |  FROM sc, tot),
+        |g3 AS (
+        |  SELECT bk.i, g1.lang, g1.reg_domain, bk.n_tokens,
+        |    CASE WHEN rel >= $CurTauHead THEN 'head' ELSE 'middle' END AS bucket
+        |  FROM bk JOIN g1 ON bk.i = g1.i WHERE rel >= $CurTauTail),
+        |g4 AS (
+        |  SELECT * FROM g3
+        |  WHERE ('0x' || substring(md5(CAST(i AS VARCHAR) || ':cur1'), 1, 15))::BIGINT
+        |    < CASE lang
+        |        WHEN 'en' THEN 1152921504606846976
+        |        WHEN 'de' THEN 576460752303423488
+        |        WHEN 'es' THEN 288230376151711744
+        |        WHEN 'zh' THEN 144115188075855872
+        |        ELSE 72057594037927936 END),
+        |g5 AS (
+        |  SELECT i, lang, reg_domain, bucket, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY reg_domain ORDER BY i) AS rn
+        |    FROM g4) WHERE rn <= 20),
+        |pk AS (
+        |  SELECT i, lang, reg_domain, bucket, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_pos
+        |  FROM g5),
+        |sh AS (
+        |  SELECT *, CAST(start_pos // 512 AS BIGINT) AS shard_start,
+        |    CAST(greatest(start_pos + n_tokens - 1, start_pos) // 512 AS BIGINT)
+        |      AS shard_end
+        |  FROM pk)
+        |SELECT i AS doc_id, lang, reg_domain, bucket, n_tokens, start_pos,
+        |  shard_start, shard_end,
+        |  CAST(CASE WHEN shard_end > shard_start THEN 1 ELSE 0 END AS INT)
+        |    AS spans_boundary
+        |FROM sh, guard WHERE guard.g = 0 ORDER BY doc_id""".stripMargin,
   )
 }

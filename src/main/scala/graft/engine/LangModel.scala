@@ -55,7 +55,7 @@ object LangModel {
 
   /** Score every document against a fitted unigram model.
     *
-    * Output columns: idCol, n_tokens, freq_mass, mean_freq, rel_freq,
+    * Output columns: idCol, carry…, n_tokens, freq_mass, mean_freq, rel_freq,
     * xent (4dp), bucket. `rel_freq` = mean_freq ÷ (total/vocab), the
     * document's mean token frequency relative to the corpus-average
     * token frequency — a SCALE-FREE quality coordinate (invariant to
@@ -73,7 +73,8 @@ object LangModel {
     * centroid loads).
     */
   def scoreDocs(docs: DataFrame, lm: DataFrame, idCol: String, textCol: String,
-      tauHead: Double, tauTail: Double, broadcastLm: Boolean = true): DataFrame = {
+      tauHead: Double, tauTail: Double, broadcastLm: Boolean = true,
+      carry: Seq[String] = Nil): DataFrame = {
     require(tauHead >= tauTail, "scoreDocs: tauHead must be >= tauTail")
     val model = lm.localCheckpoint(true)
     val totRow = model.agg(sum(col("cnt")).cast("long"), count(lit(1))).collect()(0)
@@ -82,14 +83,18 @@ object LangModel {
     require(total > 0L, "scoreDocs: empty language model")
     val corpusMean = total.toDouble / vocab.toDouble
     val toks = docs
-      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("token"))
+      .select(col(idCol) +: carry.map(col) :+
+        explode(split(col(textCol), " ", -1)).as("token"): _*)
       .where(col("token") =!= "")
     val m = if (broadcastLm) F.broadcast(model) else model
     val joined = toks.join(m, Seq("token"), "left")
       // unseen / pruned-away tokens take the add-one floor count
       .withColumn("cnt", coalesce(col("cnt"), lit(1L)))
     joined
-      .groupBy(col(idCol))
+      // `carry` columns are per-document attributes riding along (lang,
+      // domain, …): grouping by them too keeps ONE exchange instead of a
+      // score-then-rejoin
+      .groupBy(col(idCol) +: carry.map(col): _*)
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("freq_mass"),
