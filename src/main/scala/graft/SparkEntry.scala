@@ -1429,6 +1429,33 @@ object SparkEntry {
           col("shard_end"), col("spans_boundary"))
         .orderBy("doc_id")
     }),
+    "q70_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): embedding-level near-duplicate
+      // REMOVAL as one callable chain — LSH candidate pairs over the
+      // vector corpus → connected components → keeper anti-join (the
+      // embedding face of dedupNearText). Planted lattice: every vector
+      // <500 cloned at +1e6, every 4th also at +2e6, so components have
+      // 2–3 members and the keeper (min id) is always the original;
+      // identical vectors collide in EVERY LSH band, so candidate recall
+      // on the planted pairs is structural, not probabilistic. The
+      // oracle enumerates exact all-pairs cosine ≥ 0.999 and resolves
+      // components via the recursive-CTE reachability closure.
+      import s.implicits._
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val tripled = e
+        .union(e.select((col("vec_id") + 1000000).as("vec_id"),
+          col("embedding"), col("label")))
+        .union(e.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 2000000).as("vec_id"),
+            col("embedding"), col("label")))
+      val pairs = Dedup.embeddingNearDups(tripled, "vec_id", "embedding", 0.999)
+        .select(col("a"), col("b")).as[(Long, Long)]
+        .map { case (a, b) => Dedup.Pair(a, b) }
+      Dedup.dedupNear(tripled, "vec_id", pairs)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** q66 bucket thresholds over mean corpus token frequency: documents
@@ -2681,5 +2708,30 @@ object SparkEntry {
         |  CAST(CASE WHEN shard_end > shard_start THEN 1 ELSE 0 END AS INT)
         |    AS spans_boundary
         |FROM sh, guard WHERE guard.g = 0 ORDER BY doc_id""".stripMargin,
+    // q70: exact all-pairs cosine enumerates the true near-dup graph; the
+    // recursive CTE computes each node's min reachable id (true
+    // connectivity, any chain length); survivors = corpus minus non-keepers.
+    "q70_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 500),
+        |d AS (
+        |  SELECT vec_id, embedding, label FROM e
+        |  UNION ALL SELECT vec_id + 1000000, embedding, label FROM e
+        |  UNION ALL SELECT vec_id + 2000000, embedding, label FROM e
+        |    WHERE vec_id % 4 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM d a JOIN d b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.999),
+        |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |r(id, k) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e2.a, r.k FROM edges e2 JOIN r ON e2.b = r.id),
+        |nonk AS (SELECT id FROM r GROUP BY id HAVING min(k) <> id)
+        |SELECT vec_id, label FROM d
+        |WHERE vec_id NOT IN (SELECT id FROM nonk) ORDER BY vec_id""".stripMargin,
   )
 }
