@@ -1422,8 +1422,12 @@ object SparkEntry {
           col("n_tokens"))
         .localCheckpoint(true) // consumed twice below (pack + attribute join)
       // stage 6: concat-and-chunk shard assignment over the survivors
+      // the attribute side is cap-bounded (≤ cap × #domains rows) by
+      // construction — broadcast it; AQE can't see that through the
+      // mapPartitions stats
       Pack.chunkAssign(capped, "doc_id", "n_tokens", 512L)
-        .join(capped.select("doc_id", "lang", "reg_domain", "bucket"), "doc_id")
+        .join(broadcast(capped.select("doc_id", "lang", "reg_domain", "bucket")),
+          "doc_id")
         .select(col("doc_id"), col("lang"), col("reg_domain"), col("bucket"),
           col("n_tokens"), col("start_pos"), col("shard_start"),
           col("shard_end"), col("spans_boundary"))

@@ -134,6 +134,68 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Fuzzy benchmark decontamination: flag every document sharing a word
+    * n-gram with the benchmark set up to ONE token substitution (Hamming
+    * distance ≤ 1 over the n token positions). Exact 13-gram matching
+    * ([[contaminatedDocs]]) misses eval passages that reappear with a
+    * single token edited — a year updated, a name swapped, an OCR typo —
+    * the standard argument for fuzzy decontamination in pre-training
+    * hygiene audits.
+    *
+    * Technique: masked-position variant hashing (the classic Hamming≤1
+    * blocking scheme — one deletion neighborhood per position). Each
+    * n-gram spawns exactly n variants, variant j = the gram with token j
+    * replaced by a sentinel. Two n-grams are within Hamming distance 1
+    * iff they share at least one variant (equal grams share all n; grams
+    * differing only at position j share variant j; grams differing at ≥2
+    * positions share none). Join variants instead of grams and the whole
+    * pairwise-Hamming problem becomes an equi-join — no cross product,
+    * no distance UDF.
+    *
+    * Scale shape: identical to [[contaminatedDocs]] at n× the explode
+    * width — bench variants (|bench grams| × n strings) broadcast, the
+    * corpus side stays ONE narrow explode of codegen-resident built-ins
+    * (transform with positional lambda) + broadcast left-semi join +
+    * distinct on the small flagged set. The corpus never shuffles.
+    *
+    * Both sides whitespace-normalize first (`\s+` → one space), same as
+    * the exact operator. The sentinel must not occur as a full token in
+    * either side's text; the default is the EMPTY string, which cannot be
+    * a token after `\s+` normalization + split — the no-collision
+    * property is structural, not an input assumption (the masked slot
+    * shows up as a doubled/edge space in the joined variant, which pins
+    * the mask position unambiguously given non-empty tokens). A caller
+    * overriding the sentinel with a token that DOES occur in the text
+    * admits false POSITIVES only (a Hamming-2 pair could then share a
+    * variant); recall is unaffected either way.
+    */
+  def fuzzyContaminatedDocs(df: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int = 13, sentinel: String = ""): DataFrame = {
+    require(n >= 2, s"fuzzyContaminatedDocs: n must be >= 2, got $n")
+    def maskedVariants(toks: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(n - 1)),
+        j => array_join(
+          transform(toks, (t, k) => when(k === j, lit(sentinel)).otherwise(t)),
+          " "))
+    val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val corpusVariants = df.select(
+      col(idCol),
+      explode(
+        when(size(ws) >= n,
+          flatten(transform(sequence(lit(0), size(ws) - n),
+            i => maskedVariants(slice(ws, i + lit(1), lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("variant"))
+    val benchToks = split(trim(regexp_replace(col("gram"), "\\s+", " ")), " ")
+    val benchVariants = benchGrams
+      .select(benchToks.as("toks"))
+      .filter(size(col("toks")) === n)
+      .select(explode(maskedVariants(col("toks"))).as("variant"))
+      .distinct()
+    corpusVariants
+      .join(broadcast(benchVariants), Seq("variant"), "left_semi")
+      .select(idCol).distinct()
+  }
+
   /** Intra-document repeated-line removal: within each document keep only
     * the FIRST occurrence of every line, preserving order — the per-page
     * half of CCNet-style boilerplate removal (navigation blocks, cookie
