@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.engine._
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1460,7 +1460,84 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     }),
+    "q71_fuzzy_decontaminate" -> ((s, dir) => {
+      // Fuzzy (Hamming ≤ 1) benchmark decontamination via masked-position
+      // variant hashing: every 25th doc's first 13 tokens form the eval
+      // set (q58's bench); the corpus additionally carries PLANTED
+      // one-token-substituted, line-wrapped copies of each bench passage
+      // (id + 2e6 — invisible to exact 13-gram matching, the recall half)
+      // and two-token-substituted copies (id + 3e6 — Hamming 2, which
+      // must NOT flag: the precision half). The substituted position
+      // walks the gram (doc_id/25 mod 13) so every mask index is
+      // exercised. Corpus side: ONE narrow explode (13 variants per
+      // window, built-ins only) + broadcast semi-join — the corpus never
+      // shuffles, q58's shape at n× the explode width.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ws = split(col("text"), " ")
+      val first13 = slice(ws, 1, 13)
+      val benchSel = col("doc_id") % 25 === 0 && size(ws) >= 13
+      val plantSel = benchSel && !array_contains(first13, "")
+      val p = (floor(col("doc_id") / 25) % 13).cast("int")
+      val q = ((p + 5) % 13).cast("int")
+      def subst(reps: (Column, String)*) =
+        transform(first13, (tok, k) =>
+          reps.foldLeft(tok) { case (acc, (pos, rep)) =>
+            when(k === pos, lit(rep)).otherwise(acc) })
+      val planted1 = base.filter(plantSel)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(subst(p -> "xq71suba"), "\n").as("text"))
+      val planted2 = base.filter(plantSel)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(subst(p -> "xq71suba", q -> "xq71subb"), " ").as("text"))
+      val docs = base.unionByName(planted1).unionByName(planted2)
+      val bench = base.filter(benchSel)
+        .select(array_join(first13, " ").as("gram"))
+      Dedup.fuzzyContaminatedDocs(docs, "doc_id", "text", bench)
+        .orderBy("doc_id")
+    }),
+    "q72_split_leakage" -> ((s, dir) => {
+      // Leakage-safe corpus splitting: deterministic DOMAIN-keyed
+      // train/valid/test assignment (Sampling.splitByKey over the 60-bit
+      // md5 coordinate — near-duplicate pages of one site can never
+      // straddle a split boundary) + the overlap WITNESS a split audit
+      // needs: which train documents still share a word 13-gram with the
+      // heldout splits (template text syndicated ACROSS domains — exactly
+      // what domain splitting cannot prevent and what the witness must
+      // surface). A 14-token slogan is planted on every 11th doc so
+      // cross-split overlap provably exists at every SF; natural
+      // duplicate texts count too (the oracle replays both). Assignment
+      // is a pure narrow projection (zero shuffle); the witness is one
+      // narrow explode per side + a semi-join (heldout grams broadcast —
+      // the eval-split-sized assumption; a full-corpus-scale heldout
+      // audit passes broadcastBench = false to shuffle instead).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("reg_domain",
+          when(col("doc_id") % 23 === 5, lit("site5.co.uk"))
+            .otherwise(concat(lit("site"), col("doc_id") % 23, lit(".com"))))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 4,
+            concat(col("text"), lit(" " + Q72Slogan)))
+            .otherwise(col("text")))
+      val labeled = Sampling.splitByKey(docs, col("reg_domain"), Q72Splits, "q72")
+      val held = labeled.filter(col("split") =!= "train")
+      val leaky = Dedup.contaminatedDocs(
+          labeled.filter(col("split") === "train"), "doc_id", "text",
+          Dedup.wordGrams(held, "doc_id", "text").select("gram"))
+        .withColumn("leaked", lit(true))
+      labeled.join(leaky, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("reg_domain"), col("split"),
+          coalesce(col("leaked"), lit(false)).as("leaked"))
+        .orderBy("doc_id")
+    }),
   )
+
+  /** q72's split weights and the 14-token cross-split slogan (planted on
+    * every 11th document — guaranteed heldout↔train overlap witness).
+    */
+  private val Q72Splits: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+  private val Q72Slogan: String =
+    "big sale ends soon visit our store for best prices and free shipping today"
 
   /** q66 bucket thresholds over mean corpus token frequency: documents
     * whose tokens average ≥ tauHead corpus occurrences are 'head'
@@ -2737,5 +2814,101 @@ object SparkEntry {
         |nonk AS (SELECT id FROM r GROUP BY id HAVING min(k) <> id)
         |SELECT vec_id, label FROM d
         |WHERE vec_id NOT IN (SELECT id FROM nonk) ORDER BY vec_id""".stripMargin,
+    // q71: the oracle regenerates the corpus (source + both planted
+    // substitution lattices), the bench set, and the FULL masked-variant
+    // neighborhoods of both sides from first principles, then joins
+    // variants exactly — the engine's Hamming<=1 semantics come out right
+    // only if one-substitution grams match and two-substitution grams
+    // don't, at every mask position. Guards fail loudly on id-space
+    // collisions and range-cap overruns (same contract as q58).
+    "q71_fuzzy_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE
+        |    WHEN max(doc_id) >= 2000000
+        |      THEN error('q71 oracle: source doc_id collides with the planted id space')
+        |    WHEN max(len(ws)) > 3950
+        |      THEN error('q71 oracle: document exceeds the 3950-token range cap')
+        |    WHEN max(CASE WHEN regexp_matches(text, '[\t\n\x0b\f\r]') THEN 1 ELSE 0 END) = 1
+        |      THEN error('q71 oracle: non-space whitespace in source text - space-split replay invalid')
+        |    ELSE 0 END AS g FROM d),
+        |el AS (
+        |  SELECT doc_id, ws[1:13] AS t13,
+        |    CAST(((doc_id // 25) % 13) + 1 AS INT) AS p,
+        |    CAST((((doc_id // 25) % 13 + 5) % 13) + 1 AS INT) AS q
+        |  FROM d
+        |  WHERE doc_id % 25 = 0 AND len(ws) >= 13
+        |    AND len(list_filter(ws[1:13], x -> x = '')) = 0
+        |    AND (SELECT g FROM guard) = 0),
+        |corp AS (
+        |  SELECT doc_id, list_filter(ws, x -> x <> '') AS fs FROM d
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    list_transform(generate_series(1, 13),
+        |      i -> CASE WHEN i = p THEN 'xq71suba' ELSE t13[i] END)
+        |  FROM el
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    list_transform(generate_series(1, 13),
+        |      i -> CASE WHEN i = p THEN 'xq71suba'
+        |                WHEN i = q THEN 'xq71subb' ELSE t13[i] END)
+        |  FROM el),
+        |bench AS (
+        |  SELECT DISTINCT list_filter(ws[1:13], x -> x <> '') AS bt
+        |  FROM d WHERE doc_id % 25 = 0 AND len(ws) >= 13),
+        |ms AS (SELECT CAST(j AS INT) AS j FROM range(1, 14) t(j)),
+        |bv AS (
+        |  SELECT DISTINCT array_to_string(
+        |      list_concat(list_concat(bt[1:j-1], ['']), bt[j+1:13]), ' ') AS variant
+        |  FROM bench CROSS JOIN ms WHERE len(bt) = 13),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |cg AS (SELECT doc_id, fs[i : i+12] AS toks
+        |       FROM corp JOIN nums ON i <= len(fs) - 12),
+        |cv AS (
+        |  SELECT doc_id, array_to_string(
+        |      list_concat(list_concat(toks[1:j-1], ['']), toks[j+1:13]), ' ') AS variant
+        |  FROM cg CROSS JOIN ms)
+        |SELECT DISTINCT doc_id FROM cv JOIN bv USING (variant)
+        |ORDER BY doc_id""".stripMargin,
+    // q72: the oracle re-derives the domain lattice, the 60-bit md5 split
+    // coordinate against the ENGINE'S OWN integer thresholds (inlined from
+    // Sampling.cumThresholds, so float-rounding in the cumulative weights
+    // cannot diverge), and the cross-split 13-gram witness from both
+    // regenerated gram sets.
+    "q72_split_leakage" -> {
+      val ts = Sampling.cumThresholds(Q72Splits)
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+        |guard AS (SELECT CASE
+        |    WHEN max(len(string_split(text, ' '))) > 3900
+        |      THEN error('q72 oracle: document exceeds the 3900-token range cap')
+        |    WHEN max(CASE WHEN regexp_matches(text, '[\\t\\n\\x0b\\f\\r]') THEN 1 ELSE 0 END) = 1
+        |      THEN error('q72 oracle: non-space whitespace in source text - space-split replay invalid')
+        |    ELSE 0 END AS g FROM d0),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 5 THEN 'site5.co.uk'
+        |         ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.com' END AS reg_domain,
+        |    text || CASE WHEN doc_id % 11 = 4 THEN ' $Q72Slogan' ELSE '' END AS text
+        |  FROM d0 WHERE (SELECT g FROM guard) = 0),
+        |lab AS (
+        |  SELECT doc_id, reg_domain, text,
+        |    CASE WHEN ('0x' || substring(md5(reg_domain || ':q72'), 1, 15))::BIGINT
+        |             < ${ts(0)} THEN 'train'
+        |         WHEN ('0x' || substring(md5(reg_domain || ':q72'), 1, 15))::BIGINT
+        |             < ${ts(1)} THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM d),
+        |wf AS (SELECT doc_id, split,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS fs FROM lab),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |g AS (SELECT doc_id, split, array_to_string(fs[i : i + 12], ' ') AS gram
+        |      FROM wf JOIN nums ON i <= len(fs) - 12),
+        |leaky AS (
+        |  SELECT DISTINCT tg.doc_id FROM g tg
+        |  JOIN (SELECT DISTINCT gram FROM g WHERE split <> 'train') hg USING (gram)
+        |  WHERE tg.split = 'train')
+        |SELECT l.doc_id, l.reg_domain, l.split,
+        |  (l.split = 'train' AND l.doc_id IN (SELECT doc_id FROM leaky)) AS leaked
+        |FROM lab l ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -117,21 +117,38 @@ object Dedup {
     * n-gram decontamination convention (GPT-3 appendix C / PaLM-style).
     */
   def contaminatedDocs(df: DataFrame, idCol: String, textCol: String,
-      benchGrams: DataFrame, n: Int = 13): DataFrame = {
+      benchGrams: DataFrame, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
+    val normBench = benchGrams
+      .select(trim(regexp_replace(col("gram"), "\\s+", " ")).as("gram"))
+      .distinct()
+    wordGrams(df, idCol, textCol, n)
+      .join(if (broadcastBench) broadcast(normBench) else normBench,
+        Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** All word n-gram windows of a corpus after `\s+` whitespace
+    * normalization — (id, gram) rows from ONE narrow codegen explode.
+    * This is the shared gram generator behind [[contaminatedDocs]]; its
+    * output doubles as another decontamination call's `benchGrams`, which
+    * is how cross-set overlap witnesses compose ("which TRAIN documents
+    * share a 13-gram with the HELDOUT split" = contaminatedDocs(train,
+    * wordGrams(heldout))). When the gram side is a full corpus split
+    * rather than an eval-set-sized benchmark, pass
+    * `broadcastBench = false` there so the join shuffles instead of
+    * broadcasting an oversized build side.
+    */
+  def wordGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 13): DataFrame = {
     val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
-    val grams = df.select(
+    df.select(
       col(idCol),
       explode(
         when(size(ws) >= n,
           transform(sequence(lit(0), size(ws) - n),
             i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
           .otherwise(array().cast("array<string>"))).as("gram"))
-    val normBench = benchGrams
-      .select(trim(regexp_replace(col("gram"), "\\s+", " ")).as("gram"))
-      .distinct()
-    grams
-      .join(broadcast(normBench), Seq("gram"), "left_semi")
-      .select(idCol).distinct()
   }
 
   /** Fuzzy benchmark decontamination: flag every document sharing a word

@@ -125,4 +125,51 @@ object Sampling {
       .drop("__rn")
     keyed.join(winners, Seq(g, o), "left_semi").drop(g, o)
   }
+
+  /** Deterministic multi-way corpus split (train/valid/test) keyed by an
+    * arbitrary grouping column — typically the REGISTERED DOMAIN, so
+    * near-duplicate pages of one site can never straddle a split boundary
+    * (URL- or page-level splitting leaks template variants of the same
+    * page into evaluation; the standard fix is to split at the domain
+    * granularity and then VERIFY with an n-gram overlap witness — see
+    * `Dedup.contaminatedDocs` / `Dedup.fuzzyContaminatedDocs`).
+    *
+    * Assignment: the 60-bit md5 coordinate of (key, salt) checked against
+    * the cumulative weight thresholds, first interval wins; the LAST
+    * label is the `otherwise` default, so the full [0, 2^60) range is
+    * covered regardless of float rounding in the cumulative products.
+    * Same determinism contract as [[stratifiedSample]]: the label depends
+    * ONLY on (key, salt, weights) — re-derivable on any cluster size,
+    * partitioning, or row order, and SQL-replayable (md5 hex is
+    * byte-identical across engines). Null keys coalesce to "" (one
+    * deterministic split), consistent with `Dedup.urlGroups`' null-url
+    * keying. Pure narrow projection — ZERO shuffle at any corpus size.
+    */
+  def splitByKey(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+      salt: String, outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitByKey: at least one split required")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "splitByKey: split labels must be distinct")
+    require(splits.forall(_._2 > 0.0), "splitByKey: weights must be > 0")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"splitByKey: weights must sum to 1, got $total")
+    val coord = hashCoord(coalesce(key.cast("string"), lit("")), salt)
+    val label = splits.init.zip(cumThresholds(splits).init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((l, _), t), els) => when(coord < lit(t), lit(l)).otherwise(els)
+      }
+    df.withColumn(outCol, label)
+  }
+
+  /** Cumulative 60-bit thresholds for `splitByKey`'s weight vector —
+    * exposed so an external replay (SQL oracle, audit notebook) can pin
+    * the EXACT integer boundaries the engine used rather than re-deriving
+    * them through its own float rounding.
+    */
+  def cumThresholds(splits: Seq[(String, Double)]): Seq[Long] = {
+    val two60 = 1L << 60
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => if (c >= 1.0) two60 else (c * two60.toDouble).toLong)
+  }
 }

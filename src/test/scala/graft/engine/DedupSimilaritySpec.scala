@@ -296,6 +296,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._1 == 0L))
   }
 
+  test("fuzzy decontamination flags Hamming<=1 grams at every mask position, rejects Hamming 2") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma delta", // exact bench gram — shares all variants
+      2L -> "alpha beta XXXX delta", // one interior substitution — flagged
+      3L -> "alpha YYYY XXXX delta", // two substitutions — must stay clean
+      4L -> "ZZZZ beta gamma delta", // substitution at the FIRST position
+      5L -> "alpha beta gamma ZZZZ", // substitution at the LAST position
+      6L -> "beta alpha gamma delta", // transposition = Hamming 2 — clean
+      7L -> "alpha beta gamma", // shorter than n — never flagged
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("gram")
+    val flagged = Dedup.fuzzyContaminatedDocs(docs, "id", "text", bench, n = 4)
+      .as[Long].collect().sorted
+    assert(flagged.toSeq == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("fuzzy decontamination normalizes whitespace and matches interior windows") {
+    import spark.implicits._
+    val docs = Seq(
+      // bench passage line-wrapped AND one-token-edited, buried mid-doc
+      1L -> "pre text alpha\nbeta  gamma EDIT post",
+      2L -> "clean entirely different words here now",
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("gram")
+    val flagged = Dedup.fuzzyContaminatedDocs(docs, "id", "text", bench, n = 4)
+      .as[Long].collect()
+    assert(flagged.toSeq == Seq(1L))
+    // bench grams whose normalized token count != n are dropped, not crashed
+    val benchBad = Seq("only two", "alpha beta gamma delta").toDF("gram")
+    val f2 = Dedup.fuzzyContaminatedDocs(docs, "id", "text", benchBad, n = 4)
+      .as[Long].collect()
+    assert(f2.toSeq == Seq(1L))
+  }
+
   test("multimodal stub decode is deterministic with real schema") {
     val a = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 2)).collect()
     val b = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 8)).collect()

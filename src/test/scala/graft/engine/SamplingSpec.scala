@@ -144,4 +144,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() == 9)
     intercept[IllegalArgumentException](Sampling.capPerGroup(df, "lang", "id", 0))
   }
+
+  test("splitByKey: deterministic across partitionings, weight-respecting, key-consistent") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val keys = (0 until 2000).map(i => (i.toLong, s"domain$i.com")).toDF("id", "key")
+    val a = Sampling.splitByKey(keys, col("key"), splits, "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.splitByKey(keys.repartition(7), col("key"), splits, "s1")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    val frac = a.values.groupBy(identity).map { case (k, v) => k -> v.size / 2000.0 }
+    assert(math.abs(frac("train") - 0.8) < 0.04, frac.toString)
+    assert(math.abs(frac.getOrElse("valid", 0.0) - 0.1) < 0.03, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.03, frac.toString)
+    // every row of one key lands in one split (the leakage-safety property)
+    val dupKeys = (0 until 300).map(i => (i.toLong, s"host${i % 17}.org")).toDF("id", "key")
+    val perKey = Sampling.splitByKey(dupKeys, col("key"), splits, "s1")
+      .select("key", "split").distinct().groupBy("key").count()
+      .select("count").as[Long].collect()
+    assert(perKey.forall(_ == 1L), "a key must map to exactly one split")
+    // a different salt reshuffles assignments
+    val c = Sampling.splitByKey(keys, col("key"), splits, "s2")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a != c, "salt must decorrelate assignments")
+  }
+
+  test("splitByKey: null keys deterministic, zero-shuffle plan, bad weights rejected") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.75, "heldout" -> 0.25)
+    val withNulls = Seq((1L, null: String), (2L, null: String), (3L, "x.com"))
+      .toDF("id", "key")
+    val n = Sampling.splitByKey(withNulls, col("key"), splits, "s")
+      .filter(col("id") < 3).select("split").distinct().as[String].collect()
+    assert(n.length == 1, "null keys must all land in one deterministic split")
+    val plan = Sampling.splitByKey(withNulls, col("key"), splits, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](
+      Sampling.splitByKey(withNulls, col("key"), Seq("a" -> 0.5, "b" -> 0.4), "s"))
+    intercept[IllegalArgumentException](
+      Sampling.splitByKey(withNulls, col("key"), Seq("a" -> 0.5, "a" -> 0.5), "s"))
+    intercept[IllegalArgumentException](
+      Sampling.splitByKey(withNulls, col("key"), Seq.empty, "s"))
+    intercept[IllegalArgumentException](
+      Sampling.splitByKey(withNulls, col("key"), Seq("a" -> 1.0, "b" -> -0.0), "s"))
+  }
 }
