@@ -1529,6 +1529,35 @@ object SparkEntry {
           coalesce(col("leaked"), lit(false)).as("leaked"))
         .orderBy("doc_id")
     }),
+    "q73_substring_dedup" -> ((s, dir) => {
+      // Exact substring deduplication (Lee et al. 2022) via minLen-gram
+      // anchoring: a 30-token boilerplate slogan is appended to every
+      // 31st doc — every copy after the corpus-wide first loses exactly
+      // those 30 tokens (the slogan's 11 interior 20-windows repeat
+      // across docs; boundary windows don't, because each doc's
+      // preceding context differs), and naturally duplicated documents
+      // collapse to their first occurrence entirely (document dedup as
+      // the span special case — n_after = 0). broadcastRepeated: the
+      // repeated-window vocabulary here is boilerplate-sized, the normal
+      // web-corpus case, so the corpus-side join shuffle disappears.
+      // Output pins token counts before/after and the cleaned sha256.
+      val prepped = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 31 === 7, concat(col("text"), lit(" " + Q73Slogan)))
+            .otherwise(col("text")))
+      val nb = size(filter(
+        split(trim(regexp_replace(col("text"), "\\s+", " ")), " "),
+        x => x =!= ""))
+      val before = prepped.select(col("doc_id"), nb.cast("long").as("n_before"))
+      val cleaned = Dedup.dedupSubstrings(prepped, "doc_id", "text",
+        minLen = 20, broadcastRepeated = true)
+      cleaned.join(before, Seq("doc_id"))
+        .select(col("doc_id"), col("n_before"),
+          when(col("text") === "", lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long")).as("n_after"),
+          sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q72's split weights and the 14-token cross-split slogan (planted on
@@ -1538,6 +1567,15 @@ object SparkEntry {
     Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
   private val Q72Slogan: String =
     "big sale ends soon visit our store for best prices and free shipping today"
+
+  /** q73's 30-token shared boilerplate span (appended to every 31st doc —
+    * the planted exact-substring duplicate; holds 11 interior 20-token
+    * windows, so anchoring covers all 30 positions in non-first copies).
+    */
+  private val Q73Slogan: String =
+    "subscribe to our newsletter for weekly updates and exclusive offers " +
+      "delivered straight to your inbox every single morning without fail " +
+      "plus bonus content from partners worldwide at zero cost today"
 
   /** q66 bucket thresholds over mean corpus token frequency: documents
     * whose tokens average ≥ tauHead corpus occurrences are 'head'
@@ -2909,6 +2947,44 @@ object SparkEntry {
         |SELECT l.doc_id, l.reg_domain, l.split,
         |  (l.split = 'train' AND l.doc_id IN (SELECT doc_id FROM leaky)) AS leaked
         |FROM lab l ORDER BY doc_id""".stripMargin
+    },
+    // q73: the oracle replays minLen-gram anchoring from first principles —
+    // regenerates every 20-token window, the repeated vocabulary with its
+    // packed-long first key (the engine's exact maxTokens=2^20 constant),
+    // the per-doc duplicate-start lists, and the indexed token drop — down
+    // to the sha256 of the cleaned text. The span semantics (later copies
+    // lose the slogan, exact-duplicate docs empty out, first occurrences
+    // untouched) come out right only if the engine's anchoring equals the
+    // reference substring rule on these inputs.
+    "q73_substring_dedup" -> {
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+        |guard AS (SELECT CASE
+        |    WHEN max(len(string_split(text, ' '))) > 3950
+        |      THEN error('q73 oracle: document exceeds the 3950-token range cap')
+        |    WHEN max(CASE WHEN regexp_matches(text, '[\\t\\n\\x0b\\f\\r]') THEN 1 ELSE 0 END) = 1
+        |      THEN error('q73 oracle: non-space whitespace in source text - space-split replay invalid')
+        |    ELSE 0 END AS g FROM d0),
+        |d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 31 = 7 THEN ' $Q73Slogan' ELSE '' END AS text
+        |  FROM d0 WHERE (SELECT g FROM guard) = 0),
+        |wf AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS fs FROM d),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(0, 4000) t(i)),
+        |w AS (SELECT doc_id, i AS pos, md5(array_to_string(fs[i + 1 : i + 20], ' ')) AS gh
+        |      FROM wf JOIN nums ON i <= len(fs) - 20),
+        |rep AS (SELECT gh, min(doc_id * 1048576 + pos) AS fkey
+        |        FROM w GROUP BY gh HAVING count(*) > 1),
+        |dup AS (SELECT doc_id, pos FROM w JOIN rep USING (gh)
+        |        WHERE doc_id * 1048576 + pos <> fkey),
+        |st AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM dup GROUP BY doc_id),
+        |o AS (SELECT wf.doc_id, fs, coalesce(starts, []) AS starts
+        |      FROM wf LEFT JOIN st USING (doc_id)),
+        |res AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_before,
+        |  [fs[i] FOR i IN generate_series(1, len(fs))
+        |     IF len(list_filter(starts, s -> s + 1 <= i AND i <= s + 20)) = 0] AS kept
+        |  FROM o)
+        |SELECT doc_id, n_before, CAST(len(kept) AS BIGINT) AS n_after,
+        |  sha256(coalesce(array_to_string(kept, ' '), '')) AS sha
+        |FROM res ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -159,58 +159,146 @@ object Dedup {
     * the standard argument for fuzzy decontamination in pre-training
     * hygiene audits.
     *
-    * Technique: masked-position variant hashing (the classic Hamming≤1
-    * blocking scheme — one deletion neighborhood per position). Each
-    * n-gram spawns exactly n variants, variant j = the gram with token j
-    * replaced by a sentinel. Two n-grams are within Hamming distance 1
-    * iff they share at least one variant (equal grams share all n; grams
-    * differing only at position j share variant j; grams differing at ≥2
-    * positions share none). Join variants instead of grams and the whole
-    * pairwise-Hamming problem becomes an equi-join — no cross product,
-    * no distance UDF.
+    * Technique: PIGEONHOLE HALVES + exact verification. If two n-grams
+    * differ in at most one position, the edit falls in one half, so the
+    * OTHER half matches exactly — blocking on the two half-grams
+    * (floor(n/2) and the remainder) finds every Hamming≤1 pair with only
+    * TWO exact join keys per window. Candidates then verify true Hamming
+    * distance with a zip_with/filter count — exact, collision-free, no
+    * distance UDF, no cross product. (The one-deletion masked-variant
+    * neighborhood — n join keys per window, the form the SQL oracle
+    * replays — is match-equivalent but builds n variant strings per
+    * corpus window: measured 10× the exact operator's wall at sf0.1.
+    * Pigeonholing emits 2 keys and defers the n-token comparison to the
+    * rare candidate, which is why it is the shape that survives scale.)
     *
-    * Scale shape: identical to [[contaminatedDocs]] at n× the explode
-    * width — bench variants (|bench grams| × n strings) broadcast, the
-    * corpus side stays ONE narrow explode of codegen-resident built-ins
-    * (transform with positional lambda) + broadcast left-semi join +
-    * distinct on the small flagged set. The corpus never shuffles.
+    * Scale shape: bench halves broadcast (|bench grams| × 2 keys + their
+    * token arrays); the corpus side stays ONE narrow explode of
+    * codegen-resident built-ins (2 half keys per window) + broadcast hash
+    * join + Hamming filter + distinct on the small flagged set. The
+    * corpus never shuffles. Precision caveat: none — candidates are
+    * verified by exact token comparison, so false positives are
+    * impossible regardless of half-key collisions.
     *
     * Both sides whitespace-normalize first (`\s+` → one space), same as
-    * the exact operator. The sentinel must not occur as a full token in
-    * either side's text; the default is the EMPTY string, which cannot be
-    * a token after `\s+` normalization + split — the no-collision
-    * property is structural, not an input assumption (the masked slot
-    * shows up as a doubled/edge space in the joined variant, which pins
-    * the mask position unambiguously given non-empty tokens). A caller
-    * overriding the sentinel with a token that DOES occur in the text
-    * admits false POSITIVES only (a Hamming-2 pair could then share a
-    * variant); recall is unaffected either way.
+    * the exact operator.
     */
   def fuzzyContaminatedDocs(df: DataFrame, idCol: String, textCol: String,
-      benchGrams: DataFrame, n: Int = 13, sentinel: String = ""): DataFrame = {
+      benchGrams: DataFrame, n: Int = 13): DataFrame = {
     require(n >= 2, s"fuzzyContaminatedDocs: n must be >= 2, got $n")
-    def maskedVariants(toks: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(n - 1)),
-        j => array_join(
-          transform(toks, (t, k) => when(k === j, lit(sentinel)).otherwise(t)),
-          " "))
+    val half = n / 2
+    def halfKeys(toks: org.apache.spark.sql.Column) = array(
+      concat(lit("L:"), array_join(slice(toks, 1, half), " ")),
+      concat(lit("R:"), array_join(slice(toks, half + 1, n - half), " ")))
+    val benchToks = split(trim(regexp_replace(col("gram"), "\\s+", " ")), " ")
+    val bench = benchGrams
+      .select(benchToks.as("btoks"))
+      .filter(size(col("btoks")) === n)
+      .distinct()
+      .select(col("btoks"), explode(halfKeys(col("btoks"))).as("hk"))
     val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
-    val corpusVariants = df.select(
+    val windows = df.select(
       col(idCol),
       explode(
         when(size(ws) >= n,
-          flatten(transform(sequence(lit(0), size(ws) - n),
-            i => maskedVariants(slice(ws, i + lit(1), lit(n))))))
-          .otherwise(array().cast("array<string>"))).as("variant"))
-    val benchToks = split(trim(regexp_replace(col("gram"), "\\s+", " ")), " ")
-    val benchVariants = benchGrams
-      .select(benchToks.as("toks"))
-      .filter(size(col("toks")) === n)
-      .select(explode(maskedVariants(col("toks"))).as("variant"))
-      .distinct()
-    corpusVariants
-      .join(broadcast(benchVariants), Seq("variant"), "left_semi")
+          transform(sequence(lit(0), size(ws) - n),
+            i => slice(ws, i + lit(1), lit(n))))
+          .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
+    windows
+      .select(col(idCol), col("wtoks"), explode(halfKeys(col("wtoks"))).as("hk"))
+      .join(broadcast(bench), Seq("hk"))
+      .filter(size(filter(zip_with(col("wtoks"), col("btoks"),
+        (x, y) => x =!= y), d => d)) <= 1)
       .select(idCol).distinct()
+  }
+
+  /** Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), token-granular: remove
+    * every token SPAN of length ≥ `minLen` that occurs elsewhere in the
+    * corpus, keeping only the corpus-wide first occurrence. This is the
+    * span-level counterpart of document dedup — syndicated article
+    * bodies, license blocks and quoted passages shared between otherwise
+    * distinct pages are cut out of every copy but one; a fully duplicated
+    * document loses its whole body (document dedup falls out as the
+    * special case).
+    *
+    * The paper builds a corpus-wide suffix array; the Spark-native
+    * equivalent is `minLen`-gram ANCHORING, which needs only hash
+    * groupBys and joins: a span of ≥ minLen tokens repeats iff every
+    * minLen-window inside it repeats, so (1) hash every window (md5 of
+    * the token run — the gram string itself never leaves its narrow
+    * projection), (2) keep the REPEATED window vocabulary only
+    * (count > 1, with the packed-long `id * maxTokens + pos` first-key —
+    * same ordering contract as [[dedupLines]], enforced loudly with
+    * `raise_error`), (3) re-join to mark every non-first window
+    * occurrence, (4) drop each document's covered token positions with a
+    * per-row indexed filter. Windows are recomputed (one narrow explode)
+    * on each side of the repeated-vocabulary join rather than
+    * materialized — at corpus scale the exploded window table is ~the
+    * tokenized corpus itself and must never be checkpointed.
+    *
+    * Scale shape: the dominant cost is the window groupBy/join exchange of
+    * (id, pos, hash128) triples — proportional to corpus token count,
+    * the honest price of exact-substring dedup (the suffix-array original
+    * sorts the same volume). Map-side partial agg applies to the count +
+    * packed-min; `broadcastRepeated = true` removes the corpus-side join
+    * shuffle entirely when the repeated-window vocabulary fits executor
+    * memory (the boilerplate-dominated web-corpus case — mirror of
+    * dedupLines' FirstsMode.Broadcast); the final starts-per-doc table
+    * only holds AFFECTED documents, so AQE broadcasts it into the
+    * reassembly join in the normal case. Cleanup is O(T × W) per doc
+    * (W = duplicate windows in that doc) via built-in `filter`/`exists` —
+    * expression-only, no UDF.
+    *
+    * Composition caveat (same as dedupLines): the input is evaluated on
+    * both sides of the repeated-vocabulary join — `localCheckpoint` a
+    * computed upstream stage first; a plain scan is fine as-is.
+    *
+    * Returns (idCol cast long, textCol cleaned); other columns drop.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, maxTokens: Long = 1L << 20,
+      broadcastRepeated: Boolean = false): DataFrame = {
+    require(minLen >= 2, s"dedupSubstrings: minLen must be >= 2, got $minLen")
+    val maxId = Long.MaxValue / maxTokens
+    val toks = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    val guarded = df.select(
+      when(col(idCol).cast("long") >= 0 && col(idCol).cast("long") < lit(maxId),
+        col(idCol).cast("long"))
+        .otherwise(raise_error(lit(
+          s"dedupSubstrings: id outside packing bounds [0, $maxId)"))).as("id"),
+      when(size(toks) < lit(maxTokens),
+        toks)
+        .otherwise(raise_error(lit(
+          s"dedupSubstrings: document exceeds $maxTokens tokens"))).as("toks"))
+    def windows(base: DataFrame) = base
+      .select(col("id"),
+        explode(
+          when(size(col("toks")) >= minLen,
+            transform(sequence(lit(0), size(col("toks")) - minLen),
+              p => struct(p.as("pos"),
+                md5(array_join(slice(col("toks"), p + lit(1), lit(minLen)), " "))
+                  .as("gh"))))
+            .otherwise(array().cast("array<struct<pos:int,gh:string>>"))).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.gh").as("gh"))
+    val rep = windows(guarded)
+      .groupBy("gh")
+      .agg(count(lit(1)).as("__n"),
+        min(col("id") * lit(maxTokens) + col("pos")).as("fkey"))
+      .filter(col("__n") > 1)
+      .select("gh", "fkey")
+    val starts = windows(guarded)
+      .join(if (broadcastRepeated) broadcast(rep) else rep, Seq("gh"))
+      .filter(col("id") * lit(maxTokens) + col("pos") =!= col("fkey"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    guarded.join(starts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        array_join(
+          filter(col("toks"), (t, i) =>
+            !exists(coalesce(col("starts"), array().cast("array<int>")),
+              s => s <= i && i < s + lit(minLen))),
+          " ").as(textCol))
   }
 
   /** Intra-document repeated-line removal: within each document keep only

@@ -331,6 +331,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(f2.toSeq == Seq(1L))
   }
 
+  test("exact substring dedup removes later copies of shared spans, keeps the first") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y a b c d e q", // shares the 5-token span a..e with doc 1
+      3L -> "p q r s t u v w", // unique — untouched
+      4L -> "a b c d e f g h", // exact duplicate of doc 1 — empties out
+    ).toDF("id", "text")
+    val out = Dedup.dedupSubstrings(docs, "id", "text", minLen = 5)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e f g h", "first occurrence keeps its text")
+    assert(out(2L) == "x y q", "only the shared span is cut, context survives")
+    assert(out(3L) == "p q r s t u v w")
+    assert(out(4L) == "", "a fully duplicated document loses its whole body")
+  }
+
+  test("substring dedup: periodic self-overlap keeps one window; id contract is loud") {
+    import spark.implicits._
+    // all 3-windows of a periodic run are the same gram: the pos-0 window
+    // is the corpus-wide first, every later one is covered — one period
+    // survives
+    val periodic = Seq(1L -> "z z z z z z z").toDF("id", "text")
+    val out = Dedup.dedupSubstrings(periodic, "id", "text", minLen = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "z", s"expected one token to survive, got '${out(1L)}'")
+    // ids outside the packing range fail the job loudly, not silently
+    val bad = Seq(-1L -> "a b c d").toDF("id", "text")
+    val e = intercept[Exception](
+      Dedup.dedupSubstrings(bad, "id", "text", minLen = 2).collect())
+    assert(e.getMessage.contains("packing bounds") ||
+      e.getCause != null && e.getCause.getMessage.contains("packing bounds"),
+      s"expected the packing-bounds contract, got: ${e.getMessage}")
+  }
+
   test("multimodal stub decode is deterministic with real schema") {
     val a = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 2)).collect()
     val b = Multimodal.decodeFeatures(Multimodal.syntheticMedia(spark, 50, 8)).collect()
