@@ -1558,6 +1558,30 @@ object SparkEntry {
           sha2(col("text"), 256).as("sha"))
         .orderBy("doc_id")
     }),
+    "q74_snapshot_dedup" -> ((s, dir) => {
+      // Incremental cross-snapshot dedup: the historical corpus is
+      // summarized ONCE into a persisted index (bucketed sha table +
+      // per-bucket bloom filters, DedupIndexJob.build), and an incoming
+      // crawl batch is deduped against the INDEX — never against the
+      // corpus. Snapshot = 3/4 of documents; batch = the remaining 1/4
+      // plus relabeled copies of every 20th snapshot doc (guaranteed
+      // cross-snapshot duplicates at every SF, on top of the corpus's
+      // natural near-identical families). Bloom negatives are provably
+      // novel and skip the confirm join; positives are confirmed by an
+      // exact anti-join over only the touched buckets (planning-time
+      // partition pruning), so the result is exact regardless of fpp.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snapshot = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .unionByName(snapshot.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      val idx = graft.jobs.DedupIndexJob.cachedIndexDir(
+        s"$dir/documents#q74", s, snapshot, "text", nBuckets = 16)
+      graft.jobs.DedupIndexJob.novelAgainst(s, batch, "text", idx)
+        .select(col("doc_id"),
+          sha2(coalesce(col("text"), lit("")), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q72's split weights and the 14-token cross-split slogan (planted on
@@ -2985,6 +3009,25 @@ object SparkEntry {
         |SELECT doc_id, n_before, CAST(len(kept) AS BIGINT) AS n_after,
         |  sha256(coalesce(array_to_string(kept, ' '), '')) AS sha
         |FROM res ORDER BY doc_id""".stripMargin
+    },
+    // q74: the index is an exact summary of the snapshot's distinct text
+    // hashes, and bloom false positives are removed by the exact confirm
+    // join — so the whole build+probe machinery replays as one text-level
+    // anti-join of the batch against the snapshot (sha256 is injective on
+    // the corpus for dedup purposes; the oracle compares texts directly,
+    // which is the same relation). Null text folds to '' on both sides.
+    "q74_snapshot_dedup" -> {
+      """WITH snap AS (SELECT coalesce(text, '') AS t FROM documents WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, coalesce(text, '') AS t FROM documents
+        |  WHERE doc_id % 4 <> 0 AND doc_id % 20 = 1
+        |)
+        |SELECT b.doc_id, sha256(b.t) AS sha
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.t = b.t)
+        |ORDER BY b.doc_id""".stripMargin
     },
   )
 }
