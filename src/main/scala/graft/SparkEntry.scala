@@ -1116,12 +1116,8 @@ object SparkEntry {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val html = "<html><head><title>t</title><script>var x=1;</script></head><body>" +
-            "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a> <a href=\"/c\">contact</a></nav>" +
-            s"<article><p>$text</p></article>" +
-            "<footer><a href=\"/d\">privacy</a> <a href=\"/e\">terms</a></footer></body></html>"
           val doc = Extraction.extractOne(PageRow(id.toString, null,
-            html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""))
+            boilerplateWrap(text).getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""))
           (id, doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
         })
         .toDF("doc_id", "n_chars_extracted", "n_tokens", "text_sha256")
@@ -1582,7 +1578,62 @@ object SparkEntry {
           sha2(coalesce(col("text"), lit("")), 256).as("sha"))
         .orderBy("doc_id")
     }),
+    "q75_warc_roundtrip" -> ((s, dir) => {
+      // WARC ingest with a hard oracle: each document's text is wrapped in
+      // the q48 boilerplate template, serialized into per-record-gzip WARC
+      // archives (ISO 28500, the crawl's own container — built once per
+      // JVM), stream-parsed back through sources.Warc, and extracted. The
+      // url and second-aligned timestamp must survive the container
+      // byte-identically and the golden extracted text is the original
+      // text, so every output column is SQL-checkable against the raw
+      // table: ids/timestamps are closed-form, chars/tokens/sha replay
+      // q48's extraction contract.
+      import s.implicits._
+      val warcDir = cachedWarcDir(s, dir)
+      graft.sources.Warc.read(s, warcDir)
+        .select(col("url"), col("warc_ts"), col("html"),
+          lit("").as("text"), lit("").as("lang"))
+        .as[PageRow]
+        .mapPartitions(_.map { p =>
+          val doc = Extraction.extractOne(p)
+          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
+            p.warc_ts.getTime / 1000L,
+            doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
+        })
+        .toDF("doc_id", "ts_epoch", "n_chars_extracted", "n_tokens", "text_sha256")
+        .orderBy("doc_id")
+    }),
   )
+
+  /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
+    * the extractor must drop, script/title excluded, content in <article>
+    * — so the golden extracted text is exactly the wrapped text.
+    */
+  private def boilerplateWrap(text: String): String =
+    "<html><head><title>t</title><script>var x=1;</script></head><body>" +
+      "<nav><a href=\"/a\">home</a> <a href=\"/b\">about</a> <a href=\"/c\">contact</a></nav>" +
+      s"<article><p>$text</p></article>" +
+      "<footer><a href=\"/d\">privacy</a> <a href=\"/e\">terms</a></footer></body></html>"
+
+  // q75's WARC staging: one archive-set build per sf dir per JVM (bench
+  // trial 2 measures the read+extract path, not the serialization);
+  // production reads the crawler's own archives, it never builds them.
+  private val q75WarcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedWarcDir(s: SparkSession, dir: String): String =
+    q75WarcDirs.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_warc_q75").toString
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (s"https://docs.example.com/d/$id",
+            new java.sql.Timestamp((1700000000L + id) * 1000L),
+            boilerplateWrap(text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        .toDF("url", "warc_ts", "html")
+      graft.sources.Warc.write(pages.repartition(8), out)
+      out
+    })
 
   /** q72's split weights and the 14-token cross-split slogan (planted on
     * every 11th document — guaranteed heldout↔train overlap witness).
@@ -3029,5 +3080,15 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.t = b.t)
         |ORDER BY b.doc_id""".stripMargin
     },
+    // q75: the WARC container must be lossless — ids/timestamps are
+    // closed-form in doc_id, and extraction of the wrapped page returns
+    // the original text (q48's contract), so chars/tokens/sha replay
+    // straight off the raw table
+    "q75_warc_roundtrip" ->
+      """SELECT doc_id, 1700000000 + doc_id AS ts_epoch,
+        | CAST(n_chars AS BIGINT) AS n_chars_extracted,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(text) AS text_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
