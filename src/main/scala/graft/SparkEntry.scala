@@ -1603,6 +1603,26 @@ object SparkEntry {
         .toDF("doc_id", "ts_epoch", "n_chars_extracted", "n_tokens", "text_sha256")
         .orderBy("doc_id")
     }),
+    "q76_heavy_hitters" -> ((s, dir) => {
+      // Boilerplate DISCOVERY: the exact top-20 most frequent corpus lines
+      // WITHOUT a corpus-wide shuffle — per-partition Misra-Gries candidate
+      // summaries (bounded state), broadcast semi-join, exact confirm count
+      // over candidates only, and the integer-arithmetic exactness witness
+      // (kth_cnt × counters > N) carried in the output. 24 banner lines
+      // planted at harmonic frequencies (every (i+2)-th doc) guarantee a
+      // full provable top-20 at every SF on top of natural repeats; the
+      // oracle computes the full-shuffle answer, so a witnessed result that
+      // diverged from truth would hash-mismatch.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val natural = docs.select(explode(split(col("text"), "\n")).as("line"))
+      val planted = docs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(23))).as("i"))
+        .filter(col("doc_id") % (col("i") + 2) === 0)
+        .select(concat(lit("graft boilerplate banner "), col("i")).as("line"))
+      HeavyHitters.topK(natural.unionByName(planted), col("line"), k = 20, counters = 1024)
+        .withColumnRenamed("key", "line")
+        .orderBy("rank")
+    }),
   )
 
   /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
@@ -3090,5 +3110,23 @@ object SparkEntry {
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
         | sha256(text) AS text_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q76: the oracle is the FULL-SHUFFLE exact answer (group-count over
+    // every line) plus the same closed-form witness arithmetic — so the
+    // engine's shuffle-avoiding path must land on the identical relation
+    "q76_heavy_hitters" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |nat AS (SELECT unnest(string_split(text, chr(10))) AS line FROM d),
+        |pl AS (SELECT 'graft boilerplate banner ' || i AS line
+        |       FROM d JOIN (SELECT CAST(i AS BIGINT) AS i FROM range(0, 24) t(i)) n
+        |       ON doc_id % (i + 2) = 0),
+        |al AS (SELECT line FROM nat UNION ALL SELECT line FROM pl),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM al),
+        |c AS (SELECT line, CAST(count(*) AS BIGINT) AS cnt FROM al GROUP BY line),
+        |tk AS (SELECT line, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, line) AS BIGINT) AS rank
+        |       FROM c ORDER BY cnt DESC, line LIMIT 20)
+        |SELECT line, cnt, rank, (SELECT n FROM tot) AS n_rows,
+        |  ((SELECT count(*) FROM tk) = 20
+        |    AND (SELECT min(cnt) FROM tk) * 1024 > (SELECT n FROM tot)) AS proven_exact
+        |FROM tk ORDER BY rank""".stripMargin,
   )
 }
