@@ -1651,7 +1651,11 @@ object SparkEntry {
             boilerplateWrap(text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         })
         .toDF("url", "warc_ts", "html")
-      graft.sources.Warc.write(pages.repartition(8), out)
+      // one archive per core-slot: staging gzip work must spread across the
+      // session's full parallelism, not a fixed file count (a fixed 8 made
+      // the sf1 staging 4x slower than the read it feeds)
+      graft.sources.Warc.write(
+        pages.repartition(math.max(8, s.sparkContext.defaultParallelism)), out)
       out
     })
 
