@@ -64,7 +64,7 @@ object Bench {
     // time the cache hit, not the job: q49 (composed train→extract golden,
     // FixtureGoldenJob.cache) and q47 (IVF index, AnnIndexJob.cachedIndex).
     val singleTrial = Set("q49_fixture_golden", "q47_ann_ivf", "q74_snapshot_dedup",
-      "q75_warc_roundtrip")
+      "q75_warc_roundtrip", "q77_ingest_pipeline")
     val trials = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt)
     val results = sweep.map { case (name, fn) =>
       val k = if (singleTrial(name)) 1 else trials

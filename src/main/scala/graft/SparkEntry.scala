@@ -1623,6 +1623,38 @@ object SparkEntry {
         .withColumnRenamed("key", "line")
         .orderBy("rank")
     }),
+    "q77_ingest_pipeline" -> ((s, dir) => {
+      // The composed incremental-crawl ingest path, end to end: WARC
+      // archives (q75's staging) → streaming container parse → boilerplate
+      // extraction → cross-snapshot dedup against the persisted index
+      // (q74's — built from the 3/4 snapshot, so every non-novel page is
+      // dropped without ever re-reading the snapshot). One linear plan:
+      // parse and extraction are narrow, the dedup adds only the bloom
+      // probe + the bucket-pruned confirm anti-join. The oracle replays
+      // the whole chain as one text-level anti-join because extraction of
+      // the wrapped page returns the original text byte-identically
+      // (q48's contract) and the index is an exact summary (q74's).
+      import s.implicits._
+      val warcDir = cachedWarcDir(s, dir)
+      val snapshot = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 =!= 0)
+      val idx = graft.jobs.DedupIndexJob.cachedIndexDir(
+        s"$dir/documents#q74", s, snapshot, "text", nBuckets = 16)
+      val extracted = graft.sources.Warc.read(s, warcDir)
+        .select(col("url"), col("warc_ts"), col("html"),
+          lit("").as("text"), lit("").as("lang"))
+        .as[PageRow]
+        .mapPartitions(_.map { p =>
+          val doc = Extraction.extractOne(p)
+          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
+            doc.extracted_text, doc.n_tokens.toLong)
+        })
+        .toDF("doc_id", "text", "n_tokens")
+      graft.jobs.DedupIndexJob.novelAgainst(s, extracted, "text", idx)
+        .select(col("doc_id"), col("n_tokens"),
+          sha2(coalesce(col("text"), lit("")), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
@@ -3132,5 +3164,17 @@ object SparkEntry {
         |  ((SELECT count(*) FROM tk) = 20
         |    AND (SELECT min(cnt) FROM tk) * 1024 > (SELECT n FROM tot)) AS proven_exact
         |FROM tk ORDER BY rank""".stripMargin,
+    // q77: WARC parse is lossless (q75), extraction returns the wrapped
+    // text byte-identically (q48), and the snapshot index is an exact
+    // text-set summary (q74) — so the composed chain collapses to one
+    // anti-join of every document against the 3/4 snapshot's texts
+    "q77_ingest_pipeline" ->
+      """WITH snap AS (SELECT coalesce(text, '') AS t FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT doc_id,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(coalesce(text, '')) AS sha
+        |FROM documents b
+        |WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.t = coalesce(b.text, ''))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -107,10 +107,71 @@ object DedupIndexJob {
     val expected = math.max(64L, math.ceil(nKeys.toDouble * 1.5 / nBuckets).toLong)
     val bloomUdaf = udaf(new BloomAgg(expected, fpp), Encoders.STRING)
     hashes.groupBy("bucket").agg(bloomUdaf(col("sha")).as("bits"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/bloom")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$outDir/bloom")
+    writeMeta(spark, outDir, nBuckets, fpp, nKeys)
+  }
+
+  private def writeMeta(spark: SparkSession, outDir: String,
+      nBuckets: Int, fpp: Double, nKeys: Long): Unit = {
     import spark.implicits._
     Seq((nBuckets, fpp, nKeys)).toDF(MetaCols: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+  }
+
+  /** Fold a new batch into an existing index WITHOUT rebuilding it: the
+    * batch's truly-novel shas (vs the index, via [[novelAgainst]]'s own
+    * pruned path) append to `hashes/`, and ONLY the touched buckets'
+    * bloom filters are rebuilt — dynamic partition overwrite leaves every
+    * untouched bucket's files alone. This is the production crawl loop:
+    * dedup a batch against the index, then register the batch's survivors
+    * so the NEXT batch dedups against them too. Cost per update is
+    * O(batch) + O(touched-bucket re-read), never O(corpus).
+    *
+    * Rebuilt blooms are sized for the LARGEST touched bucket's post-update
+    * population (one shared size per aggregation pass — the mergeInPlace
+    * compatibility rule), so smaller touched buckets over-allocate a few
+    * bits rather than under-provision.
+    *
+    * Not transactional: a crash between the hashes append and the bloom
+    * overwrite leaves blooms stale-but-SAFE for novelty queries in one
+    * direction only (a sha in hashes/ but not yet in its bloom could pass
+    * the bloom gate as "provably novel" and be re-admitted). Production
+    * wraps both writes in one Iceberg snapshot commit (the repo-wide
+    * stand-in rule); here, re-running update with the same batch restores
+    * consistency because the append path re-derives novelty from hashes/,
+    * not from the blooms. Returns (novel keys added, buckets touched).
+    */
+  def update(spark: SparkSession, batch: DataFrame, textCol: String,
+      indexDir: String): (Long, Int) = {
+    val meta = readMeta(spark, indexDir)
+    val novel = batch
+      .select(shaOf(textCol).as("sha")).distinct()
+      .withColumn("bucket", bucketOf(col("sha"), meta.nBuckets))
+    // exact anti-join against the pruned sha table (bloom skipped: an
+    // update must be exact against hashes/, the source of truth)
+    val touched = novel.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return (0L, 0)
+    val existing = spark.read.parquet(s"$indexDir/hashes")
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .select("sha")
+    val fresh = novel.join(existing, Seq("sha"), "left_anti").localCheckpoint(true)
+    val nFresh = fresh.count()
+    if (nFresh == 0) return (0L, 0)
+    fresh.write.mode(SaveMode.Append).partitionBy("bucket").parquet(s"$indexDir/hashes")
+    // rebuild ONLY the touched buckets' blooms from the updated sha table
+    val freshBuckets = fresh.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    val rebuilt = spark.read.parquet(s"$indexDir/hashes")
+      .filter(col("bucket").isin(freshBuckets.map(Integer.valueOf): _*))
+    val maxBucket = rebuilt.groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+    val expected = math.max(64L, math.ceil(maxBucket * 1.5).toLong)
+    val bloomUdaf = udaf(new BloomAgg(expected, meta.fpp), Encoders.STRING)
+    rebuilt.groupBy("bucket").agg(bloomUdaf(col("sha")).as("bits"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$indexDir/bloom")
+    writeMeta(spark, indexDir, meta.nBuckets, meta.fpp, meta.nKeys + nFresh)
+    (nFresh, freshBuckets.length)
   }
 
   /** [[build]] with a size-derived bucket count (one snapshot count). */

@@ -120,6 +120,57 @@ class DedupIndexJobSpec extends AnyFunSuite {
     assert(novel.count() == 50)
   }
 
+  test("update folds a batch in: equals build-from-scratch, touches only its buckets") {
+    import spark.implicits._
+    val out = buildOnce()
+    val before = DedupIndexJob.readMeta(spark, out)
+    // batch: 60 novel texts + 30 already-indexed (must add nothing)
+    val upBatch = ((0L until 60L).map(i => (40000L + i, s"second crawl page $i")) ++
+      (0L until 30L).map(i => (41000L + i, s"snapshot document ${i * 2} body with shared tail")))
+      .toDF("doc_id", "text")
+    val untouchedBloomFiles = {
+      val touched = upBatch.select(
+        pmod(xxhash64(sha2(coalesce(col("text"), lit("")), 256)), lit(16L)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      new java.io.File(s"$out/bloom").listFiles()
+        .filter(f => f.getName.startsWith("bucket=") &&
+          !touched.contains(f.getName.stripPrefix("bucket=").toInt))
+        .flatMap(_.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    }
+    val (added, touched) = DedupIndexJob.update(spark, upBatch, "text", out)
+    assert(added == 60)
+    assert(touched > 0 && touched <= 16)
+    val after = DedupIndexJob.readMeta(spark, out)
+    assert(after.nKeys == before.nKeys + 60)
+    // dynamic partition overwrite must leave untouched buckets' files alone
+    untouchedBloomFiles.foreach { case (path, mtime) =>
+      val f = new java.io.File(path)
+      assert(f.exists() && f.lastModified() == mtime, s"untouched bloom rewritten: $path")
+    }
+    // the updated index answers like a from-scratch build over the union
+    val scratch = tmpOut()
+    DedupIndexJob.build(spark, snapshot.unionByName(upBatch), "text", scratch, nBuckets = 16)
+    val probe = ((0L until 40L).map(i => (50000L + i, s"second crawl page ${i * 2}")) ++
+      (0L until 40L).map(i => (51000L + i, s"third crawl page $i")) ++
+      Seq((52000L, "snapshot document 6 body with shared tail"))).toDF("doc_id", "text")
+    def novelIds(idx: String) = DedupIndexJob.novelAgainst(spark, probe, "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novelIds(out) == novelIds(scratch))
+    // no false negatives over the UNION after the partial bloom rebuild
+    val hashes = spark.read.parquet(s"$out/hashes")
+    assert(hashes.count() == before.nKeys + 60)
+    val blooms = spark.read.parquet(s"$out/bloom").collect()
+      .map(r => r.getAs[Int]("bucket") -> BloomFilter.readFrom(r.getAs[Array[Byte]]("bits")))
+      .toMap
+    val pairs = hashes.select("bucket", "sha").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(pairs.forall { case (b, s) => blooms(b).mightContainString(s) })
+    // idempotence: the same batch again adds nothing
+    assert(DedupIndexJob.update(spark, upBatch, "text", out) == ((0L, 0)))
+  }
+
+  private def tmpOut(): String =
+    java.nio.file.Files.createTempDirectory("graft_dedup_idx_scratch").toString
+
   test("autoBuckets scales ~N/4M within [8, 65536]") {
     assert(DedupIndexJob.autoBuckets(0L) == 8)
     assert(DedupIndexJob.autoBuckets(1000000L) == 8)
