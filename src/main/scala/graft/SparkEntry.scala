@@ -1655,6 +1655,40 @@ object SparkEntry {
           sha2(coalesce(col("text"), lit("")), 256).as("sha"))
         .orderBy("doc_id")
     }),
+    "q78_stream_ingest" -> ((s, dir) => {
+      // q77's incremental-crawl ingest as a CONTINUOUS stream: archives
+      // arrive in a watched directory, each micro-batch parses only files
+      // the source has not seen (the file-source's checkpointed seen-log
+      // is the exactly-once contract), extraction runs inside the stream,
+      // and snapshot dedup is the stateless bloom gate + stream-static
+      // anti-join (no state store — nothing grows). Computes the SAME
+      // relation as q77, so the oracle is identical; the memory sink is
+      // the oracle surface, the production sink is the checkpointed file
+      // sink evidenced by StreamFileSinkSpec.
+      import s.implicits._
+      val warcDir = cachedWarcDir(s, dir)
+      val snapshot = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 =!= 0)
+      val idx = graft.jobs.DedupIndexJob.cachedIndexDir(
+        s"$dir/documents#q74", s, snapshot, "text", nBuckets = 16)
+      val stream = graft.sources.Warc.readStream(s, warcDir)
+        .select(col("url"), col("warc_ts"), col("html"),
+          lit("").as("text"), lit("").as("lang"))
+        .as[PageRow]
+        .mapPartitions(_.map { p =>
+          val doc = Extraction.extractOne(p)
+          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
+            doc.extracted_text, doc.n_tokens.toLong)
+        })
+        .toDF("doc_id", "text", "n_tokens")
+      val novel = graft.jobs.DedupIndexJob.novelAgainstStream(s, stream, "text", idx)
+        .select(col("doc_id"), col("n_tokens"),
+          sha2(coalesce(col("text"), lit("")), 256).as("sha"))
+      val qname = "graft_stream_ingest_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = novel.writeStream.outputMode("append").format("memory").queryName(qname).start()
+      q.processAllAvailable(); q.stop()
+      s.table(qname).orderBy("doc_id")
+    }),
   )
 
   /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
@@ -3169,6 +3203,16 @@ object SparkEntry {
     // text-set summary (q74) — so the composed chain collapses to one
     // anti-join of every document against the 3/4 snapshot's texts
     "q77_ingest_pipeline" ->
+      """WITH snap AS (SELECT coalesce(text, '') AS t FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT doc_id,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(coalesce(text, '')) AS sha
+        |FROM documents b
+        |WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.t = coalesce(b.text, ''))
+        |ORDER BY doc_id""".stripMargin,
+    // q78 computes q77's relation through the streaming path — identical
+    // oracle by construction
+    "q78_stream_ingest" ->
       """WITH snap AS (SELECT coalesce(text, '') AS t FROM documents WHERE doc_id % 4 <> 0)
         |SELECT doc_id,
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,

@@ -252,6 +252,48 @@ object DedupIndexJob {
     negatives.unionByName(confirmed).drop("__sha", "__bucket")
   }
 
+  /** Streaming face of [[novelAgainst]]: filter a stream of documents down
+    * to rows whose text the indexed snapshot does not contain. Stateless —
+    * the bloom gate is a broadcast narrow filter and the confirm is a
+    * stream-static left-anti join, so there is no state store to grow.
+    *
+    * The scale tradeoff vs the batch path: a static plan cannot collect
+    * per-batch touched buckets, so the confirm joins against the FULL
+    * static sha table (only bloom-POSITIVE rows reach it, and shuffle
+    * volume is candidate-sized, but the static side is scanned per
+    * micro-batch). Past a few 10^9 distinct docs, lower fpp to shrink the
+    * candidate stream and size micro-batches so the confirm amortizes —
+    * or divert candidates to a batch reconciliation pass and let the
+    * stream emit bloom-negatives (provably novel) immediately. The result
+    * here stays exact regardless of fpp, same argument as the batch path.
+    *
+    * Note intra-STREAM duplicates are not deduped here (two novel copies
+    * in one batch both pass) — exactly like the batch path; compose with
+    * [[graft.streaming.StreamDedup.firstArrivalPerKey]] for first-arrival
+    * semantics inside the stream itself.
+    */
+  def novelAgainstStream(spark: SparkSession, stream: DataFrame, textCol: String,
+      indexDir: String): DataFrame = {
+    val meta = readMeta(spark, indexDir)
+    val blooms: Map[Int, BloomFilter] = spark.read.parquet(s"$indexDir/bloom")
+      .select(col("bucket").cast("int"), col("bits"))
+      .collect()
+      .map(r => r.getInt(0) -> BloomFilter.readFrom(r.getAs[Array[Byte]](1)))
+      .toMap
+    val bc = spark.sparkContext.broadcast(blooms)
+    val mightContain = udf { (bucket: Int, sha: String) =>
+      bc.value.get(bucket).exists(_.mightContainString(sha))
+    }
+    val hashed = stream
+      .withColumn("__sha", shaOf(textCol))
+      .withColumn("__bucket", bucketOf(col("__sha"), meta.nBuckets))
+    val negatives = hashed.filter(!mightContain(col("__bucket"), col("__sha")))
+    val snapShas = spark.read.parquet(s"$indexDir/hashes").select(col("sha").as("__sha"))
+    val confirmed = hashed.filter(mightContain(col("__bucket"), col("__sha")))
+      .join(snapShas, Seq("__sha"), "left_anti")
+    negatives.unionByName(confirmed).drop("__sha", "__bucket")
+  }
+
   // bench/oracle surface cache: one on-disk index build per snapshot key
   // per JVM (trial 2 of a bench query must not pay the build again);
   // production calls build() against a durable path itself.

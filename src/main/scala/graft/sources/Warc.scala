@@ -173,6 +173,46 @@ object Warc {
       .toDF()
   }
 
+  /** Continuous ingest: watch `dir` for newly arriving archives; each
+    * micro-batch parses only files the source has not seen before (the
+    * file-source's checkpointed seen-files log is the exactly-once
+    * contract, same as the parquet streams). The binaryFile source is used
+    * for its arrival tracking ONLY — the projection keeps just `path`, so
+    * the source never materializes archive bytes into rows; the parser
+    * streams them from the FS exactly as the batch reader does. Cap
+    * per-batch intake with the source's `maxFilesPerTrigger` via
+    * `options`.
+    */
+  def readStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    // the binaryFile source's schema is fixed by the format; a streaming
+    // source cannot infer it, so it is supplied verbatim
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .options(options)
+      .load(dir)
+      .select(col("path"))
+      .as[String]
+      .mapPartitions(_.flatMap(f => parseFile(stripFileScheme(f), conf.t)))
+      .toDF()
+  }
+
+  /** The binaryFile source reports `file:/...` URIs; the Hadoop Path
+    * accepts them, but lineage joins against batch-read rows (plain paths)
+    * want one spelling.
+    */
+  private def stripFileScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
   /** Stream-parse one archive: header lines, exact-length block, CRLF CRLF
     * separator; `response` records yield rows, everything else is consumed
     * and skipped.
