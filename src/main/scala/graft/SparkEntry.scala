@@ -1689,7 +1689,67 @@ object SparkEntry {
       q.processAllAvailable(); q.stop()
       s.table(qname).orderBy("doc_id")
     }),
+    "q79_link_graph" -> ((s, dir) => {
+      // crawl-frontier analytics, extraction half: the host-level link
+      // graph pulled straight out of page markup (href scan + entity
+      // decode + relative/protocol-relative resolution + scheme filtering)
+      // and aggregated to weighted host edges. Pages carry a deterministic
+      // planted link lattice (two absolute links keyed on doc_id, one
+      // relative link, one mailto and one fragment that must drop), so the
+      // whole graph is closed-form in doc_id and the oracle rebuilds it
+      // without parsing any HTML.
+      LinkGraph.hostEdges(q79Pages(s, dir), "url", "html")
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).cast("long").as("n_links"))
+        .orderBy("src_host", "dst_host")
+    }),
+    "q80_host_rank" -> ((s, dir) => {
+      // crawl-frontier analytics, ranking half: bounded power-iteration
+      // PageRank (2 rounds, d=0.85, dangling mass redistributed) over the
+      // q79 graph, joined with exact in/out degrees. Degrees are
+      // integer-exact; the rank replay matches the oracle's identical
+      // float expression tree at 6-decimal rounding (sum ORDER is the one
+      // engine-dependent piece — error ~1e-13 vs a 1e-6 grid).
+      val edges = LinkGraph.hostEdges(q79Pages(s, dir), "url", "html")
+        .localCheckpoint(true)
+      val ranks = LinkGraph.pageRank(edges, iters = 2)
+      val outd = edges.groupBy(col("src_host").as("host"))
+        .agg(count(lit(1)).as("out_links"))
+      val ind = edges.groupBy(col("dst_host").as("host"))
+        .agg(count(lit(1)).as("in_links"))
+      ranks.join(outd, Seq("host"), "left").join(ind, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("out_links"), lit(0L)).as("out_links"),
+          coalesce(col("in_links"), lit(0L)).as("in_links"),
+          round(col("rank"), 6).as("rank"))
+        .orderBy("host")
+    }),
   )
+
+  /** q79/q80's page set: one page per document with a planted
+    * deterministic link lattice — source host `src(doc_id%11).example`,
+    * absolute links to `site((doc_id+1)%23).example` and
+    * `site((2*doc_id+5)%23).example` (which COLLIDE when doc_id ≡ 19
+    * mod 23, exercising multiplicity), one relative link resolving to the
+    * source host, plus a mailto and a fragment that must be filtered.
+    */
+  private def q79Pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k1 = (id + 1) % 23
+        val k2 = (2 * id + 5) % 23
+        val html = "<html><body><nav><a href=\"/home\">h</a> " +
+          "<a href=\"mailto:x@y.example\">m</a> <a href=\"#top\">t</a></nav>" +
+          s"<p>doc $id</p>" +
+          s"<a href=\"https://site$k1.example/p\">x</a> " +
+          s"<A HREF='https://site$k2.example/q?a=1&amp;b=2'>y</A>" +
+          "</body></html>"
+        (s"https://src${id % 11}.example/d/$id",
+          html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF("url", "html")
+  }
 
   /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
     * the extractor must drop, script/title excluded, content in <article>
@@ -3220,5 +3280,69 @@ object SparkEntry {
         |FROM documents b
         |WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.t = coalesce(b.text, ''))
         |ORDER BY doc_id""".stripMargin,
+    // q79: the planted link lattice is closed-form in doc_id (self edge
+    // from the relative link, two absolute site links, mailto/fragment
+    // dropped), so the oracle rebuilds the graph without parsing HTML
+    "q79_link_graph" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT 'src' || (doc_id % 11) || '.example' AS src_host,
+        |         'src' || (doc_id % 11) || '.example' AS dst_host FROM d
+        |  UNION ALL
+        |  SELECT 'src' || (doc_id % 11) || '.example',
+        |         'site' || ((doc_id + 1) % 23) || '.example' FROM d
+        |  UNION ALL
+        |  SELECT 'src' || (doc_id % 11) || '.example',
+        |         'site' || ((2 * doc_id + 5) % 23) || '.example' FROM d)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin,
+    // q80: two power-iteration rounds unrolled with the engine's exact
+    // float expression tree ((1-0.85)/n, 0.85*(contrib + dm/n)); degrees
+    // integer-exact; rank compared at 6-decimal rounding (summation order
+    // is the one engine-dependent piece, drift ~1e-13 vs the 1e-6 grid)
+    "q80_host_rank" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT 'src' || (doc_id % 11) || '.example' AS src_host,
+        |         'src' || (doc_id % 11) || '.example' AS dst_host FROM d
+        |  UNION ALL
+        |  SELECT 'src' || (doc_id % 11) || '.example',
+        |         'site' || ((doc_id + 1) % 23) || '.example' FROM d
+        |  UNION ALL
+        |  SELECT 'src' || (doc_id % 11) || '.example',
+        |         'site' || ((2 * doc_id + 5) % 23) || '.example' FROM d),
+        |nodes AS (SELECT DISTINCT h FROM
+        |  (SELECT src_host AS h FROM e UNION ALL SELECT dst_host FROM e) u),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outd AS (SELECT src_host, count(*) AS o FROM e GROUP BY src_host),
+        |r0 AS (SELECT h AS host, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        |dm0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |        LEFT JOIN outd ON host = src_host WHERE o IS NULL),
+        |c1 AS (SELECT e.dst_host AS host, sum(r0.r / outd.o) AS c
+        |       FROM e JOIN r0 ON e.src_host = r0.host
+        |       JOIN outd ON e.src_host = outd.src_host GROUP BY e.dst_host),
+        |r1 AS (SELECT nodes.h AS host,
+        |        (1 - 0.85) / (SELECT n FROM nn)
+        |          + 0.85 * (coalesce(c1.c, 0) + (SELECT dm FROM dm0) / (SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.h = c1.host),
+        |dm1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |        LEFT JOIN outd ON host = src_host WHERE o IS NULL),
+        |c2 AS (SELECT e.dst_host AS host, sum(r1.r / outd.o) AS c
+        |       FROM e JOIN r1 ON e.src_host = r1.host
+        |       JOIN outd ON e.src_host = outd.src_host GROUP BY e.dst_host),
+        |r2 AS (SELECT nodes.h AS host,
+        |        (1 - 0.85) / (SELECT n FROM nn)
+        |          + 0.85 * (coalesce(c2.c, 0) + (SELECT dm FROM dm1) / (SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.h = c2.host),
+        |od2 AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY src_host),
+        |ind AS (SELECT dst_host AS host, CAST(count(*) AS BIGINT) AS i FROM e GROUP BY dst_host)
+        |SELECT r2.host,
+        |  coalesce(od2.o, CAST(0 AS BIGINT)) AS out_links,
+        |  coalesce(ind.i, CAST(0 AS BIGINT)) AS in_links,
+        |  round(r2.r, 6) AS rank
+        |FROM r2
+        |LEFT JOIN od2 ON r2.host = od2.host
+        |LEFT JOIN ind ON r2.host = ind.host
+        |ORDER BY r2.host""".stripMargin,
   )
 }

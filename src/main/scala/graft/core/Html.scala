@@ -89,6 +89,43 @@ object Html {
     sb.toString
   }
 
+  private val HrefAttr =
+    "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>\"']+))".r
+
+  /** `href` targets of `<a>` tags in document order, entity-decoded (the
+    * markup spells `&amp;` in query strings; the link value is the decoded
+    * form). Pure scan, no DOM: the crawl-frontier extractor only needs the
+    * attribute values, and a regex per anchor TAG (never per document) keeps
+    * it linear. A truncated trailing anchor with an unterminated quoted
+    * value yields no link (a half-written URL is not a crawl target).
+    */
+  def links(html: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        val c = if (lt + 1 < n) html.charAt(lt + 1) else ' '
+        val after = if (lt + 2 < n) html.charAt(lt + 2) else ' '
+        if ((c == 'a' || c == 'A') && (after.isWhitespace || after == '>' || after == '/')) {
+          val gt = html.indexOf('>', lt)
+          val end = if (gt < 0) n else gt
+          HrefAttr.findFirstMatchIn(html.substring(lt, end)).foreach { m =>
+            val raw =
+              if (m.group(1) != null) m.group(1)
+              else if (m.group(2) != null) m.group(2)
+              else m.group(3)
+            out += decodeEntities(raw)
+          }
+          i = end + 1
+        } else i = lt + 1
+      }
+    }
+    out.result()
+  }
+
   private final class BlockBuilder {
     val sb = new StringBuilder
     var linkChars = 0
