@@ -1650,7 +1650,12 @@ object SparkEntry {
             doc.extracted_text, doc.n_tokens.toLong)
         })
         .toDF("doc_id", "text", "n_tokens")
-      graft.jobs.DedupIndexJob.novelAgainst(s, extracted, "text", idx)
+      // materialize: the batch lineage here is parse+extract — novelAgainst
+      // otherwise re-executes it for the touched-bucket collect AND both
+      // output branches (measured 1.5x the checkpointed wall at 100x:
+      // 13.9 s -> 9.4 s, same-JVM staged archives)
+      graft.jobs.DedupIndexJob.novelAgainst(s, extracted, "text", idx,
+          materialize = true)
         .select(col("doc_id"), col("n_tokens"),
           sha2(coalesce(col("text"), lit("")), 256).as("sha"))
         .orderBy("doc_id")
