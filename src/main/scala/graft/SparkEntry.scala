@@ -1729,6 +1729,60 @@ object SparkEntry {
           round(col("rank"), 6).as("rank"))
         .orderBy("host")
     }),
+    "q81_bm25_retrieval" -> ((s, dir) => {
+      // Lexical retrieval over an inverted index — BM25 scoring of every
+      // candidate that shares >= 1/5 of a query's distinct bigram terms.
+      // Queries are the first-12-token prefixes of a fixed doc set
+      // (doc_id % 61 == 0, < 488 — the same 8 queries at every SF), so
+      // each query's source document is a guaranteed candidate. Candidate
+      // SELECTION is integer set-overlap (engine-exact); qn / n_matched /
+      // tf_mass are integer-exact; the BM25 float sum is emitted at 4dp.
+      // The oracle rebuilds postings, df, avgdl and the identical score
+      // expression tree in SQL.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+      val queries = docs.filter(col("doc_id") % 61 === 0 && col("doc_id") < 488)
+        .select((col("doc_id") / 61).cast("long").as("query_id"),
+          concat_ws(" ", slice(Retrieval.alnumTokens(col("text")), 1, 12)).as("qtext"))
+      Retrieval.search(idx, queries, minMatchNum = 1, minMatchDen = 5)
+        .select(col("query_id"), col("id").as("doc_id"), col("qn"),
+          col("n_matched"), col("tf_mass"), round(col("score"), 4).as("bm25_4dp"))
+        .orderBy("query_id", "doc_id")
+    }),
+    "q82_strip_common_lines" -> ((s, dir) => {
+      // Document-frequency boilerplate stripping (the REMOVAL half of
+      // CCNet line filtering; q56 is the keep-first half): rebuild each
+      // doc as 8-token lines wrapped in planted boilerplate (q56's
+      // construction — a corpus-wide header, a footer shared by every
+      // 10th doc), then strip EVERY line that appears in >= 3 distinct
+      // documents. The header and footers must vanish from all docs;
+      // natural body lines repeated across >= 3 docs vanish too, and the
+      // oracle recomputes the DF rule independently.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = text.split(" ", -1).grouped(8).map(_.mkString(" ")).mkString("\n")
+          (id, s"CORPUS HEADER BOILERPLATE\n$body\nFooter ${id % 10}")
+        }
+        .toDF("doc_id", "text")
+      Dedup.stripCommonLines(docs, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+    "q83_dsir_weights" -> ((s, dir) => {
+      // DSIR-style data selection: importance-weight every document by
+      // target-vs-raw bigram likelihood (target = the lang='de' slice,
+      // raw = the whole corpus; add-one smoothing, V = raw vocabulary).
+      // n_bigrams / target_mass / raw_mass are integer-exact; rel_mass is
+      // a chain of exact-integer IEEE divisions (bit-identical in any
+      // engine) and drives the selection bit at tau=1.0; the true DSIR
+      // log-likelihood ratio is emitted at 4dp. Docs with < 2 alnum
+      // tokens have no features and drop (documented operator contract).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      Importance.importanceWeights(
+          docs, docs.filter(col("lang") === "de"), "doc_id", "text", tau = 1.0)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -3349,5 +3403,114 @@ object SparkEntry {
         |LEFT JOIN od2 ON r2.host = od2.host
         |LEFT JOIN ind ON r2.host = ind.host
         |ORDER BY r2.host""".stripMargin,
+    // q81: the oracle rebuilds the whole inverted index in SQL — postings
+    // (term, tf, dl), df, avgdl, the 8 fixed query prefixes — and replays
+    // the ENGINE'S exact float expression tree for the BM25 sum (every
+    // coefficient written as the same IEEE double arithmetic, e.g.
+    // (1.2 + 1.0) not 2.2, so constant folding matches bit-for-bit); set
+    // membership is integer cross-multiplied overlap, so the result SET
+    // is exact and only the 4dp score column is float-compared.
+    "q81_bm25_retrieval" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(tk)) > 3950
+        |    THEN error('q81 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS term
+        |  FROM d JOIN nums ON i <= len(tk) - 1),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, greatest(len(tk) - 1, 0) AS dl FROM d),
+        |stats AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(coalesce(sum(greatest(len(tk) - 1, 0)), 0) AS BIGINT) AS tot FROM d),
+        |qt0 AS (SELECT CAST(doc_id // 61 AS BIGINT) AS query_id,
+        |    tk[i] || ' ' || tk[i+1] AS term
+        |  FROM d JOIN nums ON i <= least(len(tk), 12) - 1
+        |  WHERE doc_id % 61 = 0 AND doc_id < 488),
+        |qt AS (SELECT DISTINCT query_id, term FROM qt0),
+        |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qn FROM qt GROUP BY 1),
+        |sc AS (SELECT qt.query_id, p.doc_id, qs.qn,
+        |    CAST(count(*) AS BIGINT) AS n_matched,
+        |    CAST(sum(p.tf) AS BIGINT) AS tf_mass,
+        |    sum( ln(1.0 + (CAST(gl.nd AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))
+        |         * p.tf * (1.2 + 1.0)
+        |         / (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl)
+        |             / (CAST(gl.tot AS DOUBLE) / CAST(gl.nd AS DOUBLE)))) ) AS score
+        |  FROM post p JOIN qt ON p.term = qt.term
+        |    JOIN stats s ON p.term = s.term
+        |    JOIN dl ON p.doc_id = dl.doc_id
+        |    JOIN qs ON qt.query_id = qs.query_id, gl
+        |  GROUP BY qt.query_id, p.doc_id, qs.qn
+        |  HAVING count(*) * 5 >= qs.qn * 1)
+        |SELECT query_id, doc_id, qn, n_matched, tf_mass, round(score, 4) AS bm25_4dp
+        |FROM sc, guard WHERE guard.g = 0
+        |ORDER BY query_id, doc_id""".stripMargin,
+    // q82: q56's page construction, then the document-frequency rule
+    // replayed independently — any line in >= 3 distinct docs is removed
+    // EVERYWHERE (vs q56's keep-first), whitespace-only lines exempt.
+    "q82_strip_common_lines" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ws)) > 3950
+        |    THEN error('q82 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |lin AS (
+        |  SELECT doc_id, 0 AS idx, 'CORPUS HEADER BOILERPLATE' AS line FROM d
+        |  UNION ALL
+        |  SELECT doc_id, CAST(j + 1 AS INT),
+        |    array_to_string(ws[8*j+1 : 8*j+8], ' ')
+        |  FROM d, range(0, 500) t(j) WHERE 8*j < len(ws)
+        |  UNION ALL
+        |  SELECT doc_id, CAST(ceil(len(ws) / 8.0) AS INT) + 1,
+        |    'Footer ' || CAST(doc_id % 10 AS VARCHAR) FROM d),
+        |common AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS nd FROM lin
+        |    WHERE translate(line, ' ' || chr(9) || chr(13) || chr(12), '') != ''
+        |    GROUP BY line) WHERE nd >= 3),
+        |kept AS (
+        |  SELECT doc_id, idx, line FROM lin
+        |  WHERE line NOT IN (SELECT line FROM common))
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY idx) AS text,
+        |  CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM kept, guard WHERE guard.g = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q83: both bigram models (raw = corpus, target = lang 'de'), the
+    // corpus scalars Tt/Tr/V and the per-doc masses recomputed in SQL;
+    // rel_mass is the same chain of exact-integer IEEE divisions as the
+    // engine (bit-identical), the smoothed log-ratio mirrors the engine's
+    // expression tree and is compared at 4dp only.
+    "q83_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(tk)) > 3950
+        |    THEN error('q83 oracle: document exceeds the 3950-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+        |bg AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS term
+        |  FROM d JOIN nums ON i <= len(tk) - 1),
+        |rc AS (SELECT term, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM bg
+        |  WHERE lang = 'de' GROUP BY 1),
+        |gl AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bg) AS tr,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM bg WHERE lang = 'de') AS tt,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rc) AS v),
+        |sc AS (SELECT b.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(coalesce(tc.ct, 0)) AS BIGINT) AS target_mass,
+        |    CAST(sum(rc.cr) AS BIGINT) AS raw_mass,
+        |    (CAST(sum(coalesce(tc.ct, 0)) AS DOUBLE) / CAST(gl.tt AS DOUBLE))
+        |      / (CAST(sum(rc.cr) AS DOUBLE) / CAST(gl.tr AS DOUBLE)) AS rel_mass,
+        |    round(sum( ln((coalesce(tc.ct, 0) + 1.0) / (gl.tt + gl.v))
+        |             - ln((rc.cr + 1.0) / (gl.tr + gl.v)) ), 4) AS logratio_4dp
+        |  FROM bg b JOIN rc ON b.term = rc.term
+        |    LEFT JOIN tc ON b.term = tc.term, gl
+        |  GROUP BY b.doc_id, gl.tt, gl.tr, gl.v)
+        |SELECT doc_id, n_bigrams, target_mass, raw_mass, rel_mass, logratio_4dp,
+        |  rel_mass >= 1.0 AS selected
+        |FROM sc, guard WHERE guard.g = 0
+        |ORDER BY doc_id""".stripMargin,
   )
 }

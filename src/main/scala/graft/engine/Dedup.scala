@@ -456,6 +456,51 @@ object Dedup {
         count(lit(1)).as("n_lines_kept"))
   }
 
+  /** Document-frequency boilerplate stripping — the REMOVAL half of
+    * CCNet-style line filtering: delete EVERY occurrence of any line that
+    * appears in at least `minDocs` DISTINCT documents. [[dedupLines]]
+    * keeps a repeated line's corpus-wide first occurrence (dedup
+    * semantics); this operator treats high-document-frequency lines as
+    * boilerplate and keeps none of them (filter semantics) — the two
+    * compose: strip template boilerplate by DF first, then first-occurrence
+    * dedup what remains. Whitespace-only lines are structure, never
+    * counted and never stripped (same rule as [[dedupLines]]).
+    *
+    * Plan shape: the common-line vocabulary is a per-line distinct-doc
+    * count — Spark plans the `countDistinct` as two keyed aggregations
+    * ((line, id) partial-distinct, then line), both map-side-combinable —
+    * whose qualifying output is BOILERPLATE-sized, so it BROADCASTS into
+    * a left-anti join and the corpus lines never shuffle for the filter;
+    * the only corpus-wide exchange is the ordered reassembly groupBy
+    * (sort_array(collect_list)) shared with [[dedupLines]]. Set
+    * `broadcastCommon = false` for adversarial corpora whose common-line
+    * vocabulary exceeds executor memory.
+    *
+    * A document whose every line is boilerplate disappears from the
+    * output entirely (same reading as [[dedupLines]]).
+    */
+  def stripCommonLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, broadcastCommon: Boolean = true): DataFrame = {
+    require(minDocs >= 2L, s"stripCommonLines: minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val common = lines
+      .filter(translate(col("line"), " \t\r\f", "") =!= "")
+      .groupBy("line")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("line")
+    lines.join(if (broadcastCommon) broadcast(common) else common,
+        Seq("line"), "left_anti")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")),
+          "\n").as(textCol),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   final case class Sig(id: Long, sig: Array[Long], bands: Array[Long])
   final case class Pair(a: Long, b: Long)
   final case class ScoredPair(a: Long, b: Long, estimated_jaccard: Double)

@@ -1,0 +1,129 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over an inverted index — the BM25 complement to the
+  * embedding-side ANN operators ([[Similarity]] / jobs.AnnIndexJob). A
+  * pretraining pipeline uses lexical retrieval for targeted
+  * decontamination sweeps ("find every document that looks like this eval
+  * passage"), for data-selection probes, and as the sparse half of hybrid
+  * search; at corpus scale it is the classic inverted-index plan and maps
+  * onto Spark as two build exchanges plus broadcast-probe searches.
+  *
+  * Index build ([[buildIndex]]):
+  *   - postings (term, id, tf, dl): ONE exchange — tokens of a document
+  *     live in one row, so the (id, term) partial aggregation collapses
+  *     map-side before the shuffle. The document length rides the same
+  *     exchange as a grouping key (it is functional on id), which keeps
+  *     the search path free of a corpus-wide docLens join — the same
+  *     denormalization Lucene does with its per-doc norms.
+  *   - termStats (term, df): vocabulary-sized aggregate of the postings.
+  *   - corpus scalars (nDocs, total term count) in one action; avgdl's
+  *     denominator is EVERY document, including those too short to emit a
+  *     term.
+  *   Both tables are eagerly materialized (localCheckpoint — same
+  *   tradeoff as the dedup checkpoints: released by the ContextCleaner,
+  *   loud failure on preemptible executors) so repeated searches never
+  *   re-tokenize the corpus. At production scale the materialized
+  *   postings ARE the index — write them out bucketed by term and
+  *   searches become pruned scans, exactly the jobs.AnnIndexJob pattern
+  *   on the lexical side.
+  *
+  * Search ([[search]]): the query set is eval-benchmark-sized, so its
+  *   distinct terms BROADCAST and the postings never shuffle — the only
+  *   exchange is the (query_id, doc) score aggregation over the matched
+  *   postings, a tiny fraction of the corpus. Candidate SELECTION is
+  *   integer set-overlap (a doc qualifies when it matches at least
+  *   `minMatchNum`/`minMatchDen` of the query's distinct terms,
+  *   cross-multiplied in integers — no float threshold), so the result
+  *   SET is engine-exact and oracle-replayable; the BM25 score itself is
+  *   a float sum and is emitted rounded, never used for set membership —
+  *   the same determinism discipline as [[LangModel.scoreDocs]].
+  *
+  * Terms are word BIGRAMS over lowercased alphanumeric tokens — phrase
+  * sensitivity without stopword lists, and the same alnum-token contract
+  * as the decontamination grams (`[^a-z0-9]+` split, replayable with
+  * DuckDB's string_split_regex).
+  */
+object Retrieval {
+
+  /** Lowercased alphanumeric token array: split on `[^a-z0-9]+`, empties
+    * dropped. The shared tokenizer contract of the gram-based operators.
+    */
+  def alnumTokens(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+", -1), t => t =!= "")
+
+  /** Word-bigram terms over a token array (size n-1; empty below 2). */
+  def bigramTerms(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + lit(1)), lit(" "), element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** An inverted index: postings (term, id, tf, dl), termStats (term, df),
+    * and the corpus scalars BM25 needs. Both frames are materialized.
+    */
+  final case class Bm25Index(postings: DataFrame, termStats: DataFrame,
+      nDocs: Long, totalTerms: Long) {
+    def avgDl: Double = totalTerms.toDouble / nDocs.toDouble
+  }
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      bigramTerms(alnumTokens(col(textCol))).as("terms"))
+    val g = base.agg(count(lit(1)),
+      coalesce(sum(size(col("terms"))).cast("long"), lit(0L))).head
+    val nDocs = g.getLong(0)
+    require(nDocs > 0L, "Retrieval.buildIndex: empty corpus")
+    val postings = base
+      .select(col("id"), size(col("terms")).as("dl"), explode(col("terms")).as("term"))
+      .groupBy("id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val termStats = postings.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    Bm25Index(postings, termStats, nDocs, g.getLong(1))
+  }
+
+  /** Score every (query, candidate) pair whose integer term overlap
+    * reaches `minMatchNum / minMatchDen` of the query's distinct terms.
+    * Output: (query_id, id, qn, n_matched, tf_mass, score) — qn /
+    * n_matched / tf_mass integer-exact, score the float BM25 sum
+    * (Robertson/Sparck-Jones idf in the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+    * form, k1/b defaults 1.2/0.75).
+    */
+  def search(index: Bm25Index, queries: DataFrame, minMatchNum: Int = 3,
+      minMatchDen: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(minMatchDen > 0 && minMatchNum >= 0,
+      s"Retrieval.search: bad overlap fraction $minMatchNum/$minMatchDen")
+    val qterms = queries.select(col("query_id").cast("long").as("query_id"),
+        explode(array_distinct(bigramTerms(alnumTokens(col("qtext"))))).as("term"))
+    val qsizes = qterms.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    val qt = qterms.join(qsizes, "query_id")
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    index.postings
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(index.termStats), Seq("term"))
+      .groupBy(col("query_id"), col("id"), col("qn"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("tf")).as("tf_mass"),
+        sum(idf * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / lit(index.avgDl)))).as("score"))
+      .filter(col("n_matched") * lit(minMatchDen) >= col("qn") * lit(minMatchNum))
+  }
+
+  /** Per-query top-k over a scored candidate set (window over the
+    * candidates — benchmark-sized, never the corpus; ties break on id so
+    * reruns are stable).
+    */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
