@@ -1783,6 +1783,28 @@ object SparkEntry {
           docs, docs.filter(col("lang") === "de"), "doc_id", "text", tau = 1.0)
         .orderBy("doc_id")
     }),
+    "q84_bm25_indexed" -> ((s, dir) => {
+      // q81's search routed through the PERSISTED bucket-partitioned
+      // inverted index (RetrievalIndexJob): postings written once
+      // partitioned by xxhash64(term) % 64 with df denormalized in, the
+      // search reading ONLY the buckets its query terms hash into
+      // (planning-time PartitionFilters — spec-asserted). Same queries,
+      // same scoring kernel, SAME ORACLE as q81: the pruned persisted
+      // path must be lossless vs the in-memory index. Index build is
+      // memoized per JVM (the q47/q74 convention — trial 2 measures the
+      // search path).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idxDir = graft.jobs.RetrievalIndexJob.cachedIndexDir(
+        s"$dir/documents#q84", s, docs, "doc_id", "text", nBuckets = 64)
+      val queries = docs.filter(col("doc_id") % 61 === 0 && col("doc_id") < 488)
+        .select((col("doc_id") / 61).cast("long").as("query_id"),
+          concat_ws(" ", slice(Retrieval.alnumTokens(col("text")), 1, 12)).as("qtext"))
+      graft.jobs.RetrievalIndexJob.search(s, idxDir, queries,
+          minMatchNum = 1, minMatchDen = 5)
+        .select(col("query_id"), col("id").as("doc_id"), col("qn"),
+          col("n_matched"), col("tf_mass"), round(col("score"), 4).as("bm25_4dp"))
+        .orderBy("query_id", "doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -1877,6 +1899,47 @@ object SparkEntry {
     */
   private val CurTauHead: Double = 1.065
   private val CurTauTail: Double = 1.049
+
+  /** Shared by q81 (in-memory index) and q84 (persisted bucket-pruned
+    * index): the two paths must compute the identical relation.
+    */
+  private val bm25OracleSql =
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |guard AS (SELECT CASE WHEN max(len(tk)) > 3950
+      |    THEN error('q81 oracle: document exceeds the 3950-token range cap')
+      |    ELSE 0 END AS g FROM d),
+      |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+      |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS term
+      |  FROM d JOIN nums ON i <= len(tk) - 1),
+      |post AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, greatest(len(tk) - 1, 0) AS dl FROM d),
+      |stats AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      |gl AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(coalesce(sum(greatest(len(tk) - 1, 0)), 0) AS BIGINT) AS tot FROM d),
+      |qt0 AS (SELECT CAST(doc_id // 61 AS BIGINT) AS query_id,
+      |    tk[i] || ' ' || tk[i+1] AS term
+      |  FROM d JOIN nums ON i <= least(len(tk), 12) - 1
+      |  WHERE doc_id % 61 = 0 AND doc_id < 488),
+      |qt AS (SELECT DISTINCT query_id, term FROM qt0),
+      |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qn FROM qt GROUP BY 1),
+      |sc AS (SELECT qt.query_id, p.doc_id, qs.qn,
+      |    CAST(count(*) AS BIGINT) AS n_matched,
+      |    CAST(sum(p.tf) AS BIGINT) AS tf_mass,
+      |    sum( ln(1.0 + (CAST(gl.nd AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))
+      |         * p.tf * (1.2 + 1.0)
+      |         / (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl)
+      |             / (CAST(gl.tot AS DOUBLE) / CAST(gl.nd AS DOUBLE)))) ) AS score
+      |  FROM post p JOIN qt ON p.term = qt.term
+      |    JOIN stats s ON p.term = s.term
+      |    JOIN dl ON p.doc_id = dl.doc_id
+      |    JOIN qs ON qt.query_id = qs.query_id, gl
+      |  GROUP BY qt.query_id, p.doc_id, qs.qn
+      |  HAVING count(*) * 5 >= qs.qn * 1)
+      |SELECT query_id, doc_id, qn, n_matched, tf_mass, round(score, 4) AS bm25_4dp
+      |FROM sc, guard WHERE guard.g = 0
+      |ORDER BY query_id, doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pushdown_agg" ->
@@ -3410,43 +3473,10 @@ object SparkEntry {
     // (1.2 + 1.0) not 2.2, so constant folding matches bit-for-bit); set
     // membership is integer cross-multiplied overlap, so the result SET
     // is exact and only the 4dp score column is float-compared.
-    "q81_bm25_retrieval" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |guard AS (SELECT CASE WHEN max(len(tk)) > 3950
-        |    THEN error('q81 oracle: document exceeds the 3950-token range cap')
-        |    ELSE 0 END AS g FROM d),
-        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
-        |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS term
-        |  FROM d JOIN nums ON i <= len(tk) - 1),
-        |post AS (SELECT doc_id, term, count(*) AS tf FROM bg GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, greatest(len(tk) - 1, 0) AS dl FROM d),
-        |stats AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-        |    CAST(coalesce(sum(greatest(len(tk) - 1, 0)), 0) AS BIGINT) AS tot FROM d),
-        |qt0 AS (SELECT CAST(doc_id // 61 AS BIGINT) AS query_id,
-        |    tk[i] || ' ' || tk[i+1] AS term
-        |  FROM d JOIN nums ON i <= least(len(tk), 12) - 1
-        |  WHERE doc_id % 61 = 0 AND doc_id < 488),
-        |qt AS (SELECT DISTINCT query_id, term FROM qt0),
-        |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qn FROM qt GROUP BY 1),
-        |sc AS (SELECT qt.query_id, p.doc_id, qs.qn,
-        |    CAST(count(*) AS BIGINT) AS n_matched,
-        |    CAST(sum(p.tf) AS BIGINT) AS tf_mass,
-        |    sum( ln(1.0 + (CAST(gl.nd AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))
-        |         * p.tf * (1.2 + 1.0)
-        |         / (p.tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl.dl)
-        |             / (CAST(gl.tot AS DOUBLE) / CAST(gl.nd AS DOUBLE)))) ) AS score
-        |  FROM post p JOIN qt ON p.term = qt.term
-        |    JOIN stats s ON p.term = s.term
-        |    JOIN dl ON p.doc_id = dl.doc_id
-        |    JOIN qs ON qt.query_id = qs.query_id, gl
-        |  GROUP BY qt.query_id, p.doc_id, qs.qn
-        |  HAVING count(*) * 5 >= qs.qn * 1)
-        |SELECT query_id, doc_id, qn, n_matched, tf_mass, round(score, 4) AS bm25_4dp
-        |FROM sc, guard WHERE guard.g = 0
-        |ORDER BY query_id, doc_id""".stripMargin,
+    // q84 shares it verbatim: the persisted bucket-pruned index path must
+    // compute the identical relation.
+    "q81_bm25_retrieval" -> bm25OracleSql,
+    "q84_bm25_indexed" -> bm25OracleSql,
     // q82: q56's page construction, then the document-frequency rule
     // replayed independently — any line in >= 3 distinct docs is removed
     // EVERYWHERE (vs q56's keep-first), whitespace-only lines exempt.

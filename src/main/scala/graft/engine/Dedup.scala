@@ -142,13 +142,21 @@ object Dedup {
   def wordGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int = 13): DataFrame = {
     val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
-    df.select(
-      col(idCol),
-      explode(
-        when(size(ws) >= n,
-          transform(sequence(lit(0), size(ws) - n),
-            i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+    // the token array is PROJECTED before the window lambda: slice() inside
+    // a higher-order lambda substitutes its argument expression, so an
+    // inline `ws` would re-run the regex normalize+split once per WINDOW —
+    // O(tokens²) interpreted work per document (measured 2-3x the whole
+    // query wall at sf0.1). Bound to a column, each window slices a
+    // materialized array. Multiple references keep CollapseProject from
+    // inlining the projection back.
+    df.select(col(idCol), ws.as("__ws"))
+      .select(
+        col(idCol),
+        explode(
+          when(size(col("__ws")) >= n,
+            transform(sequence(lit(0), size(col("__ws")) - n),
+              i => array_join(slice(col("__ws"), i + lit(1), lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))).as("gram"))
   }
 
   /** Fuzzy benchmark decontamination: flag every document sharing a word
@@ -197,13 +205,17 @@ object Dedup {
       .distinct()
       .select(col("btoks"), explode(halfKeys(col("btoks"))).as("hk"))
     val ws = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
-    val windows = df.select(
-      col(idCol),
-      explode(
-        when(size(ws) >= n,
-          transform(sequence(lit(0), size(ws) - n),
-            i => slice(ws, i + lit(1), lit(n))))
-          .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
+    // projected before the window lambda — same O(tokens²) substitution
+    // hazard as [[wordGrams]] (slice would re-run the regex chain per
+    // window if `ws` stayed inline)
+    val windows = df.select(col(idCol), ws.as("__ws"))
+      .select(
+        col(idCol),
+        explode(
+          when(size(col("__ws")) >= n,
+            transform(sequence(lit(0), size(col("__ws")) - n),
+              i => slice(col("__ws"), i + lit(1), lit(n))))
+            .otherwise(array().cast("array<array<string>>"))).as("wtoks"))
     windows
       .select(col(idCol), col("wtoks"), explode(halfKeys(col("wtoks"))).as("hk"))
       .join(broadcast(bench), Seq("hk"))

@@ -51,15 +51,30 @@ object Retrieval {
 
   /** Lowercased alphanumeric token array: split on `[^a-z0-9]+`, empties
     * dropped. The shared tokenizer contract of the gram-based operators.
+    * `array_remove` rather than a `filter` lambda: same semantics (split
+    * never yields nulls, so removing `""` IS the empties filter) but it
+    * is an ordinary codegen-able expression — a higher-order lambda here
+    * would hold the whole projection in interpreted mode.
     */
   def alnumTokens(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-z0-9]+", -1), t => t =!= "")
+    array_remove(split(lower(textCol), "[^a-z0-9]+", -1), "")
 
-  /** Word-bigram terms over a token array (size n-1; empty below 2). */
+  /** Word-bigram terms over a token array (size n-1; empty below 2).
+    *
+    * Shape matters: `zip_with` over two shifted slices is O(n) per row —
+    * each slice evaluates the token expression once and the lambda walks
+    * the two bound arrays. The index-lambda alternative
+    * (`transform(sequence(...), i => element_at(toks, i+1) …)`) substitutes
+    * the FULL `toks` expression into every `element_at` call, so a
+    * computed `toks` (the regex tokenizer here) re-evaluates per element —
+    * O(n²) interpreted work per row that profiled at 14 s for a 256k-bigram
+    * corpus vs sub-second for this form (higher-order lambdas don't
+    * codegen, and nothing CSEs the substituted expression).
+    */
   def bigramTerms(toks: Column): Column =
     when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + lit(1)), lit(" "), element_at(toks, i + lit(2)))))
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
 
   /** An inverted index: postings (term, id, tf, dl), termStats (term, df),
@@ -97,24 +112,44 @@ object Retrieval {
     */
   def search(index: Bm25Index, queries: DataFrame, minMatchNum: Int = 3,
       minMatchDen: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(minMatchDen > 0 && minMatchNum >= 0,
-      s"Retrieval.search: bad overlap fraction $minMatchNum/$minMatchDen")
-    val qterms = queries.select(col("query_id").cast("long").as("query_id"),
-        explode(array_distinct(bigramTerms(alnumTokens(col("qtext"))))).as("term"))
-    val qsizes = qterms.groupBy("query_id").agg(count(lit(1)).as("qn"))
-    val qt = qterms.join(qsizes, "query_id")
-    val idf = log(lit(1.0) +
-      (lit(index.nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    index.postings
+    val qt = queryTerms(queries)
+    // qt joins FIRST (it filters the postings down to matched rows), the
+    // vocabulary-sized df table joins the survivors
+    val matched = index.postings
       .join(broadcast(qt), Seq("term"))
       .join(broadcast(index.termStats), Seq("term"))
+    scoreMatched(matched, index.nDocs, index.avgDl, minMatchNum, minMatchDen, k1, b)
+  }
+
+  /** Distinct (query_id, term, qn) of a query frame — benchmark-sized, the
+    * broadcast probe side of every search path (in-memory and persisted).
+    */
+  def queryTerms(queries: DataFrame): DataFrame = {
+    val qterms = queries.select(col("query_id").cast("long").as("query_id"),
+      explode(array_distinct(bigramTerms(alnumTokens(col("qtext"))))).as("term"))
+    qterms.join(qterms.groupBy("query_id").agg(count(lit(1)).as("qn")), "query_id")
+  }
+
+  /** The shared BM25 scoring kernel over matched postings rows — columns
+    * (query_id, id, qn, tf, dl, df) however the caller produced them
+    * (in-memory broadcast joins in [[search]]; a bucket-pruned index read
+    * in jobs.RetrievalIndexJob). One (query, doc) aggregation exchange
+    * over the matched rows; integer overlap filter decides membership.
+    */
+  def scoreMatched(matched: DataFrame, nDocs: Long, avgDl: Double,
+      minMatchNum: Int, minMatchDen: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(minMatchDen > 0 && minMatchNum >= 0,
+      s"Retrieval.scoreMatched: bad overlap fraction $minMatchNum/$minMatchDen")
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    matched
       .groupBy(col("query_id"), col("id"), col("qn"))
       .agg(
         count(lit(1)).as("n_matched"),
         sum(col("tf")).as("tf_mass"),
         sum(idf * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
-            lit(b) * col("dl") / lit(index.avgDl)))).as("score"))
+            lit(b) * col("dl") / lit(avgDl)))).as("score"))
       .filter(col("n_matched") * lit(minMatchDen) >= col("qn") * lit(minMatchNum))
   }
 

@@ -1,0 +1,88 @@
+package graft.jobs
+
+import graft.engine.Retrieval
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted-index job — the lexical twin of [[AnnIndexJob]]: the
+  * corpus pays its tokenize/count cost ONCE at build and every search
+  * reads only the index buckets its query terms hash into.
+  *
+  * Layout: `out/postings/` (term, id, tf, dl, df) parquet PARTITIONED BY
+  * `bucket = pmod(xxhash64(term), nBuckets)`, plus `out/meta/` (one row:
+  * n_docs, total_terms, n_buckets). The per-term document frequency is
+  * DENORMALIZED into the postings rows at build (one vocabulary-keyed
+  * join, paid once) so a search is a SINGLE pruned read — no second
+  * term-stats lookup, the same reasoning that put `dl` into the postings
+  * grouping key.
+  *
+  * Search: query terms are benchmark-sized — their bucket ids are
+  * computed with the SAME Spark `xxhash64 % nBuckets` expression as the
+  * build (never a reimplementation that could drift) and collected (a
+  * bounded driver list, the AnnIndexJob probe-list class). The bucket
+  * `isin` filter lands on the PARTITION column, so it resolves at
+  * planning time (PartitionFilters in the scan, empty Data/PushedFilters
+  * — spec-asserted) and only |distinct query-term buckets| of the
+  * nBuckets directories are ever opened: at 100 TB the difference
+  * between reading ~|query terms|/nBuckets of the index and all of it.
+  * Scoring shares [[Retrieval.scoreMatched]] with the in-memory path, so
+  * the two paths return the same relation by construction (q84 pins this
+  * with q81's own oracle).
+  *
+  * `nBuckets` sizing: buckets must dwarf the expected distinct-term count
+  * of a query (so pruning bites) while keeping each bucket's file count
+  * bounded; hot terms skew ROW counts per bucket, but the per-bucket
+  * read is a scan, not a reduce — no single-task hot key exists in the
+  * search plan.
+  */
+object RetrievalIndexJob {
+
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, outDir: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"RetrievalIndexJob.build: nBuckets must be > 0, got $nBuckets")
+    import spark.implicits._
+    val idx = Retrieval.buildIndex(docs, idCol, textCol)
+    idx.postings
+      .join(idx.termStats, Seq("term"))
+      .withColumn("bucket", bucketOf(nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$outDir/postings")
+    Seq((idx.nDocs, idx.totalTerms, nBuckets))
+      .toDF("n_docs", "total_terms", "n_buckets")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/meta")
+  }
+
+  def search(spark: SparkSession, outDir: String, queries: DataFrame,
+      minMatchNum: Int = 3, minMatchDen: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val meta = spark.read.parquet(s"$outDir/meta").head
+    val nDocs = meta.getAs[Long]("n_docs")
+    val totalTerms = meta.getAs[Long]("total_terms")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    // materialized once: the tiny term set feeds the bucket collect AND
+    // the probe join
+    val qt = Retrieval.queryTerms(queries).localCheckpoint(true)
+    val buckets = qt.select(bucketOf(nBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = spark.read.parquet(s"$outDir/postings")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    Retrieval.scoreMatched(pruned.join(broadcast(qt), Seq("term")),
+      nDocs, totalTerms.toDouble / nDocs.toDouble, minMatchNum, minMatchDen, k1, b)
+  }
+
+  // query-surface cache: one on-disk index per corpus key per JVM (bench
+  // trial 2 measures the search path, not the build; production builds
+  // against a durable path itself)
+  private val builtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def cachedIndexDir(key: String, spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 64): String =
+    builtDirs.computeIfAbsent(key, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      build(spark, docs, idCol, textCol, out, nBuckets)
+      out
+    })
+}
