@@ -1805,6 +1805,73 @@ object SparkEntry {
           col("n_matched"), col("tf_mass"), round(col("score"), 4).as("bm25_4dp"))
         .orderBy("query_id", "doc_id")
     }),
+    "q85_html_tables" -> ((s, dir) => {
+      // structured table extraction: every page carries a planted
+      // closed-form table lattice (3-col header row + 2 data rows with
+      // values v{(7*id+3r+c)%101}, an entity-bearing cell, and on every
+      // 5th doc a second table whose first cell CONTAINS a nested table —
+      // which must flatten into that cell's text, not emit as its own
+      // table). The oracle rebuilds every cell from doc_id without
+      // parsing any HTML.
+      Structure.tableCells(q85Pages(s, dir), "doc_id", "html")
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    }),
+    "q86_page_meta" -> ((s, dir) => {
+      // page-metadata extraction: title/description/keywords/canonical/
+      // og:title/published/robots-noindex, all planted closed-form in
+      // doc_id — including a COMMENTED-OUT description that must be
+      // ignored and a noindex directive on every 4th doc.
+      Structure.pageMeta(q85Pages(s, dir), "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+    "q87_anchor_text" -> ((s, dir) => {
+      // anchor-text mining over the crawl graph: aggregate what the web
+      // CALLS each host — per (dst_host, anchor) link counts from the
+      // planted lattice (two absolute links with closed-form anchor
+      // phrases, one styled anchor whose inner <b> tag must strip, plus
+      // mailto/fragment/href-less anchors that contribute no edge).
+      LinkGraph.anchorEdges(q87Pages(s, dir), "url", "html")
+        .groupBy("dst_host", "anchor")
+        .agg(count(lit(1)).cast("long").as("n_links"))
+        .orderBy("dst_host", "anchor")
+    }),
+    "q88_robots_filter" -> ((s, dir) => {
+      // robots-exclusion filtering of the crawl frontier (RFC 9309):
+      // per-host robots.txt with agent-specific groups, wildcard + '$'
+      // rules, longest-match-wins, allow-on-tie; hosts without a robots
+      // row pass. Even hosts exercise exact-agent-group precedence (their
+      // '*' group disallows EVERYTHING); odd hosts exercise the '*'
+      // fallback plus a wildcard Allow carve-out; host 6 has no row. The
+      // url lattice makes every verdict pure doc_id arithmetic for the
+      // oracle.
+      val frontier = q88Frontier(s, dir)
+      Robots.filterAllowed(frontier, "url", q88Robots(s), agent = "graftbot")
+        .orderBy("doc_id")
+    }),
+    "q89_bpe_pairs" -> ((s, dir) => {
+      // BPE training, round 1 as a hard oracle: adjacent char-pair counts
+      // over the DISTINCT-WORD table weighted by word frequency (the
+      // corpus collapse that makes web-scale BPE tractable), top 50 under
+      // the training total order (count desc, then pair asc). The
+      // iterative merge loop is spec-verified (Sennrich fixture); this
+      // pins the distributed statistic it argmaxes over.
+      val docs = t(s, dir, "documents").select(col("text"))
+      Bpe.pairCounts(Bpe.symbolize(Bpe.wordCounts(docs, "text")))
+        // lhs/rhs: LEFT/RIGHT are SQL keywords — keep the oracle unquoted
+        .select(col("left").as("lhs"), col("right").as("rhs"), col("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs"))
+        .limit(50)
+    }),
+    "q90_bpe_tokenize" -> ((s, dir) => {
+      // BPE application at corpus scale: per-document subword token count
+      // under the PINNED merge table (training order, leftmost-first
+      // non-overlapping application). The oracle replays the merges as a
+      // replace() chain over space-joined characters — the exact
+      // left-to-right semantics — so every count is integer-exact.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Bpe.tokenCounts(docs, "doc_id", "text", Q90Merges)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -1831,6 +1898,133 @@ object SparkEntry {
       })
       .toDF("url", "html")
   }
+
+  /** q85/q86's page set: per-doc markup with a closed-form table lattice
+    * and closed-form head metadata, so structured extraction needs no
+    * HTML parse on the oracle side. Table 0 = one 3-col `<th>` header row
+    * plus 2 data rows (`v{(7*id+3r+c)%101}`; cell (1,2) spells `&amp;`);
+    * every 5th doc adds table 1 whose first cell CONTAINS a nested table
+    * (must flatten); head carries title/description/keywords/canonical/
+    * og:title/published, a commented-out decoy description, and noindex
+    * on every 4th doc.
+    */
+  private def q85Pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val head = "<head>" +
+          s"<title>Doc $id &amp; Co</title>" +
+          "<!-- <meta name=\"description\" content=\"WRONG decoy\"> -->" +
+          s"""<meta name="description" content="summary ${id % 13} of page">""" +
+          s"""<meta name="keywords" content="k${id % 3},k${id % 7}">""" +
+          s"""<link rel="canonical" href="https://docs.example.com/d/$id">""" +
+          s"""<meta property="og:title" content="OG ${id % 5}">""" +
+          s"""<meta property="article:published_time" content="2024-0${1 + id % 9}-11">""" +
+          (if (id % 4 == 0) """<meta name="robots" content="noindex, nofollow">""" else "") +
+          "</head>"
+        def v(r: Int, c: Int): String =
+          if (r == 1 && c == 2) s"a&amp;b ${(7 * id + 3 * r + c) % 101}"
+          else s"v${(7 * id + 3 * r + c) % 101}"
+        val t0 = "<table><tr><th>h0</th><th>h1</th><th>h2</th></tr>" +
+          (0 to 1).map(r => s"<tr><td>${v(r, 0)}</td><td>${v(r, 1)}</td><td>${v(r, 2)}</td></tr>")
+            .mkString + "</table>"
+        val t1 =
+          if (id % 5 == 0)
+            s"<table><tr><td>outer <table><tr><td>inner${id % 9}</td></tr></table></td>" +
+              "<td>plain</td></tr></table>"
+          else ""
+        val html = s"<html>$head<body><h1>doc $id</h1>$t0$t1</body></html>"
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF("doc_id", "html")
+  }
+
+  /** q87's page set: the q79 link lattice with closed-form ANCHOR TEXT —
+    * absolute links labeled `best site {k} ever` / `visit {k} now` (the
+    * second with an inner `<b>` that must strip), a relative link labeled
+    * `home`, plus mailto/fragment/href-less anchors that contribute no
+    * edge.
+    */
+  private def q87Pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k1 = (id + 1) % 23
+        val k2 = (2 * id + 5) % 23
+        val html = "<html><body>" +
+          "<a href=\"/home\">home</a> <a href=\"mailto:x@y.example\">mail me</a> " +
+          "<a href=\"#top\">top</a> <a name=\"x\">no target</a>" +
+          s"<p>doc $id</p>" +
+          s"<a href=\"https://site$k1.example/p\">best site $k1 ever</a> " +
+          s"<A HREF='https://site$k2.example/q'>visit <b>$k2</b> now</A>" +
+          "</body></html>"
+        (s"https://src${id % 11}.example/d/$id",
+          html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF("url", "html")
+  }
+
+  /** q88's crawl frontier: one candidate URL per doc on hosts
+    * `h{id%7}.example` with path `/p{id%4}/page{id}` — every robots
+    * verdict is doc_id arithmetic (see [[q88Robots]]).
+    */
+  private def q88Frontier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://h"), col("doc_id") % 7, lit(".example/p"),
+        col("doc_id") % 4, lit("/page"), col("doc_id")).as("url"))
+
+  /** q88's per-host robots rules (host 6 deliberately has NO row):
+    * even hosts — a graftbot group (Disallow `/p{k%4}/`, wildcard-anchored
+    * Allow `/p{k%4}/page*0$`) that must SHADOW a disallow-everything `*`
+    * group; odd hosts — an inapplicable `other` group plus a `*` group
+    * (Disallow `/p1/` and `/p3/`, Allow `/p3/page1*`).
+    */
+  private def q88Robots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 to 5).map { k =>
+      val txt =
+        if (k % 2 == 0)
+          s"""# crawl policy for h$k
+             |User-agent: graftbot
+             |Disallow: /p${k % 4}/
+             |Allow: /p${k % 4}/page*0$$
+             |
+             |User-agent: *
+             |Disallow: /
+             |""".stripMargin
+        else
+          """User-agent: other
+            |Disallow: /
+            |
+            |User-agent: *
+            |Disallow: /p1/
+            |Disallow: /p3/
+            |Allow: /p3/page1*
+            |""".stripMargin
+      (s"h$k.example", txt)
+    }.toDF("host", "robots_txt")
+  }
+
+  /** q90's pinned BPE merge table (training order). Chosen from frequent
+    * English bigrams so the synthetic corpus exercises every merge,
+    * including the two-level `t h`→`th`→`the` chain.
+    */
+  private val Q90Merges: IndexedSeq[(String, String)] = IndexedSeq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("an", "d"), ("o", "r"), ("e", "n"), ("a", "t"), ("e", "s"))
+
+  /** q90's oracle kernel, generated from [[Q90Merges]] so the two sides
+    * can never drift: per merge, TWO chained `replace(' l r ', ' lr ')`
+    * passes over the space-joined char string (see the q90 oracle comment
+    * for why two passes are exact for left != right merges).
+    */
+  private val q90ReplaceChain: String =
+    Q90Merges.foldLeft("' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '") {
+      case (acc, (l, r)) =>
+        val pat = s"' $l $r '"
+        val rep = s"' $l$r '"
+        s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
 
   /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
     * the extractor must drop, script/title excluded, content in <article>
@@ -3542,5 +3736,114 @@ object SparkEntry {
         |  rel_mass >= 1.0 AS selected
         |FROM sc, guard WHERE guard.g = 0
         |ORDER BY doc_id""".stripMargin,
+    // q85: every cell of the planted table lattice is closed-form in
+    // doc_id — the oracle rebuilds coordinates and text without touching
+    // HTML (nested-table flatten included: t1 cell 0 concatenates the
+    // outer and inner text).
+    "q85_html_tables" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |cols3 AS (SELECT CAST(c AS INT) AS c FROM range(0, 3) t(c)),
+        |rows2 AS (SELECT CAST(r AS INT) AS r FROM range(0, 2) t(r)),
+        |hdr AS (SELECT doc_id, CAST(0 AS INT) AS table_idx,
+        |    CAST(0 AS INT) AS row_idx, c AS col_idx, TRUE AS is_header,
+        |    'h' || c AS cell FROM ids, cols3),
+        |dat AS (SELECT doc_id, CAST(0 AS INT), CAST(r + 1 AS INT), c, FALSE,
+        |    CASE WHEN r = 1 AND c = 2
+        |      THEN 'a&b ' || ((7 * doc_id + 3 * r + c) % 101)
+        |      ELSE 'v' || ((7 * doc_id + 3 * r + c) % 101) END
+        |  FROM ids, rows2, cols3),
+        |t1 AS (SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), c1.c, FALSE,
+        |    CASE WHEN c1.c = 0 THEN 'outer inner' || (doc_id % 9)
+        |         ELSE 'plain' END
+        |  FROM ids, (SELECT CAST(c AS INT) AS c FROM range(0, 2) t(c)) c1
+        |  WHERE doc_id % 5 = 0)
+        |SELECT * FROM (SELECT * FROM hdr UNION ALL SELECT * FROM dat
+        |  UNION ALL SELECT * FROM t1)
+        |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
+    // q86: head metadata is closed-form in doc_id (title entity included);
+    // the commented decoy must not surface.
+    "q86_page_meta" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' & Co' AS title,
+        |  'summary ' || (doc_id % 13) || ' of page' AS description,
+        |  'k' || (doc_id % 3) || ',k' || (doc_id % 7) AS keywords,
+        |  'https://docs.example.com/d/' || doc_id AS canonical,
+        |  'OG ' || (doc_id % 5) AS og_title,
+        |  '2024-0' || (1 + doc_id % 9) || '-11' AS published,
+        |  doc_id % 4 = 0 AS noindex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q87: the anchor-text edge set replayed closed-form (q79's oracle
+    // pattern plus the anchor phrases; mailto/fragment/href-less anchors
+    // contribute nothing).
+    "q87_anchor_text" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT 'src' || (doc_id % 11) || '.example' AS dst_host,
+        |         'home' AS anchor FROM d
+        |  UNION ALL
+        |  SELECT 'site' || ((doc_id + 1) % 23) || '.example',
+        |         'best site ' || ((doc_id + 1) % 23) || ' ever' FROM d
+        |  UNION ALL
+        |  SELECT 'site' || ((2 * doc_id + 5) % 23) || '.example',
+        |         'visit ' || ((2 * doc_id + 5) % 23) || ' now' FROM d)
+        |SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY dst_host, anchor ORDER BY dst_host, anchor""".stripMargin,
+    // q88: every robots verdict is doc_id arithmetic (see q88Robots'
+    // scaladoc for the rule → arithmetic derivation). k=6 has no robots
+    // row; even k: exact-agent group (disallow /p{k%4}/ unless the
+    // wildcard-anchored allow matches, i.e. the page number ends in 0);
+    // odd k: '*' group (disallow /p1/ and /p3/, allow /p3/page1*).
+    "q88_robots_filter" ->
+      """WITH f AS (SELECT doc_id, doc_id % 7 AS k, doc_id % 4 AS p
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    'https://h' || k || '.example/p' || p || '/page' || doc_id AS url,
+        |    CASE WHEN k = 6 THEN TRUE
+        |         WHEN k % 2 = 0 THEN (p <> k % 4) OR (doc_id % 10 = 0)
+        |         ELSE p = 0 OR p = 2
+        |           OR (p = 3 AND CAST(doc_id AS VARCHAR) LIKE '1%')
+        |    END AS ok
+        |  FROM f)
+        |SELECT doc_id, url FROM a WHERE ok ORDER BY doc_id""".stripMargin,
+    // q89: round-1 BPE pair counts over the distinct-word table, weighted
+    // by word frequency — the oracle rebuilds the word table and the
+    // char-pair explosion in SQL under the identical total order.
+    "q89_bpe_pairs" ->
+      """WITH d AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk FROM documents),
+        |w AS (SELECT unnest(tk) AS word FROM d),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+        |guard AS (SELECT CASE WHEN max(len(word)) > 62
+        |    THEN error('q89 oracle: word exceeds the 62-char range cap')
+        |    ELSE 0 END AS g FROM wc),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 64) t(i)),
+        |p AS (SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+        |    cnt FROM wc JOIN nums ON i <= len(word) - 1)
+        |SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        |FROM p, guard WHERE guard.g = 0
+        |GROUP BY lhs, rhs
+        |ORDER BY pair_cnt DESC, lhs, rhs LIMIT 50""".stripMargin,
+    // q90: the pinned merge table replayed as a replace() chain over
+    // space-joined chars. TWO replaces per merge: a single left-to-right
+    // replace consumes the separator shared with an adjacent candidate
+    // pair and can skip at most every other disjoint occurrence; the
+    // skipped candidates are never adjacent, so one more pass catches
+    // them all (exact for merges with left != right, which all of
+    // Q90Merges are — see BpeSpec's equivalence property).
+    "q90_bpe_tokenize" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '') AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(tk) AS word FROM d),
+         |enc AS (SELECT doc_id,
+         |    CAST(len(string_split(trim($q90ReplaceChain), ' ')) AS BIGINT)
+         |      AS ntok FROM w),
+         |agg AS (SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_bpe
+         |  FROM enc GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_words,
+         |  coalesce(agg.n_bpe, 0) AS n_bpe_tokens
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

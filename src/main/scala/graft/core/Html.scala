@@ -371,6 +371,282 @@ object Html {
     Extraction(sb.toString, spans.result(), prov.result(), titleOf(html))
   }
 
+  /** One cell of a top-level `<table>` in document order. Nested tables
+    * flatten into the enclosing cell's text (the containment reading a text
+    * extractor wants — their structure is not re-emitted as separate
+    * tables); `isHeader` marks `<th>` cells; text is entity-decoded and
+    * whitespace-collapsed like block text.
+    */
+  final case class TableCell(
+      tableIdx: Int, rowIdx: Int, colIdx: Int, isHeader: Boolean, text: String)
+
+  /** Structured table extraction: every `<td>`/`<th>` cell of every
+    * top-level `<table>`, with (table, row, column) coordinates assigned in
+    * document order. The scan shares the block tokenizer's protections
+    * (comment/CDATA skip, quote-aware tag ends, raw-text consumption,
+    * case-insensitive names) but tracks only table structure — one pass, no
+    * DOM. Browser-style recovery: an unclosed cell is flushed by the next
+    * `<td>`/`<tr>`/`</table>`; a `<td>` before any `<tr>` opens row 0.
+    */
+  def tables(html: String): Vector[TableCell] = {
+    val out = Vector.newBuilder[TableCell]
+    var tableIdx = -1 // index among TOP-LEVEL tables seen so far
+    var depth = 0 // <table> nesting depth
+    var row = -1
+    var col = -1
+    var inCell = false
+    var cellHeader = false
+    val sb = new StringBuilder
+    var pendingSpace = false
+
+    def flushCell(): Unit = if (inCell) {
+      out += TableCell(tableIdx, row, col, cellHeader, sb.toString)
+      sb.setLength(0); pendingSpace = false; inCell = false
+    }
+    def appendSeg(t: String, from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        val c = t.charAt(i)
+        if (Character.isWhitespace(c)) { if (sb.nonEmpty) pendingSpace = true }
+        else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+    }
+
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val e = html.indexOf("]]>", i + 9); i = if (e < 0) n else e + 3
+        } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+          val e = html.indexOf('>', i); i = if (e < 0) n else e + 1
+        } else {
+          var close = -1
+          var quote = 0.toChar
+          var scan = i + 1
+          while (scan < n && close < 0) {
+            val ch = html.charAt(scan)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') close = scan
+            scan += 1
+          }
+          if (close < 0) { i = n }
+          else {
+            var p = i + 1
+            val isEnd = p < close && html.charAt(p) == '/'
+            if (isEnd) p += 1
+            val nameStart = p
+            while (p < close && {
+              val ch = html.charAt(p)
+              !Character.isWhitespace(ch) && ch != '/'
+            }) p += 1
+            val nb = new java.lang.StringBuilder(p - nameStart)
+            var q = nameStart
+            while (q < p) {
+              val ch = html.charAt(q)
+              nb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+              q += 1
+            }
+            val name = nb.toString
+            val selfClosing = close > i + 1 && html.charAt(close - 1) == '/'
+            if (rawTextTags.contains(name) && !isEnd && !selfClosing) {
+              val endTag = "</" + name
+              val e = indexOfIgnoreCase(html, endTag, close + 1)
+              val after = if (e < 0) n else html.indexOf('>', e)
+              if (e < 0 || after < 0) i = n else i = after + 1
+            } else {
+              name match {
+                case "table" =>
+                  if (!isEnd) {
+                    depth += 1
+                    if (depth == 1) { tableIdx += 1; row = -1; col = -1 }
+                  } else if (depth > 0) {
+                    if (depth == 1) flushCell()
+                    depth -= 1
+                  }
+                case "tr" if depth == 1 => flushCell(); if (!isEnd) { row += 1; col = -1 }
+                case "td" | "th" if depth == 1 =>
+                  flushCell()
+                  if (!isEnd) {
+                    if (row < 0) row = 0
+                    col += 1; inCell = true; cellHeader = name == "th"
+                  }
+                case "br" | "hr" | "p" | "div" | "li" =>
+                  // block boundary inside a cell reads as a space, not a glue
+                  if (inCell && sb.nonEmpty) pendingSpace = true
+                case _ =>
+              }
+              i = close + 1
+            }
+          }
+        }
+      } else {
+        val next = html.indexOf('<', i)
+        val end = if (next < 0) n else next
+        if (inCell) {
+          var amp = i
+          while (amp < end && html.charAt(amp) != '&') amp += 1
+          if (amp >= end) appendSeg(html, i, end)
+          else { val d = decodeEntities(html.substring(i, end)); appendSeg(d, 0, d.length) }
+        }
+        i = end
+      }
+    }
+    flushCell()
+    out.result()
+  }
+
+  /** `(href, anchorText)` per `<a href=…>` element in document order —
+    * the link-graph scan plus the inner text (tags stripped,
+    * entity-decoded, whitespace-collapsed) up to the nearest `</a>`
+    * (anchors cannot nest in HTML; an unterminated anchor is capped at
+    * `maxAnchorLen` source chars so one broken tag cannot quadratically
+    * re-scan the page tail). Anchors without an href drop — the consumer
+    * is link analytics, and a target-less anchor has no edge.
+    */
+  def anchors(html: String, maxAnchorLen: Int = 2048): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else {
+        val c = if (lt + 1 < n) html.charAt(lt + 1) else ' '
+        val after = if (lt + 2 < n) html.charAt(lt + 2) else ' '
+        if ((c == 'a' || c == 'A') && (after.isWhitespace || after == '>' || after == '/')) {
+          val gt = html.indexOf('>', lt)
+          val end = if (gt < 0) n else gt
+          val hrefOpt = HrefAttr.findFirstMatchIn(html.substring(lt, end)).map { m =>
+            val raw =
+              if (m.group(1) != null) m.group(1)
+              else if (m.group(2) != null) m.group(2)
+              else m.group(3)
+            decodeEntities(raw)
+          }
+          if (hrefOpt.isEmpty) i = end + 1
+          else {
+            val bodyStart = end + 1
+            val closeAt = indexOfIgnoreCase(html, "</a", bodyStart)
+            val bodyEnd =
+              if (closeAt < 0) math.min(bodyStart + maxAnchorLen, n)
+              else math.min(closeAt, bodyStart + maxAnchorLen)
+            // strip tags inside the anchor body, collapse whitespace
+            val sb = new StringBuilder
+            var pendingSpace = false
+            var j = bodyStart
+            while (j < bodyEnd) {
+              val ch = html.charAt(j)
+              if (ch == '<') {
+                val g = html.indexOf('>', j)
+                if (g < 0 || g >= bodyEnd) j = bodyEnd
+                else { if (sb.nonEmpty) pendingSpace = true; j = g + 1 }
+              } else if (Character.isWhitespace(ch)) {
+                if (sb.nonEmpty) pendingSpace = true; j += 1
+              } else {
+                if (pendingSpace) { sb.append(' '); pendingSpace = false }
+                sb.append(ch); j += 1
+              }
+            }
+            out += ((hrefOpt.get, decodeEntities(sb.toString)))
+            i = if (closeAt < 0) bodyEnd else closeAt + 1
+          }
+        } else i = lt + 1
+      }
+    }
+    out.result()
+  }
+
+  /** Page-level metadata: title, `<meta name=…>` description/keywords,
+    * OpenGraph title, `<link rel=canonical>` href, published time
+    * (article:published_time), and the robots-noindex bit. One tag-level
+    * scan; attribute values are entity-decoded; first occurrence wins
+    * (the browser/crawler convention).
+    */
+  final case class PageMeta(
+      title: String, description: String, keywords: String, canonical: String,
+      ogTitle: String, published: String, noindex: Boolean)
+
+  /** Case-insensitive attribute lookup inside one tag body. */
+  private def attrOf(tag: String, name: String): String = {
+    var i = 0
+    val n = tag.length
+    while (i < n) {
+      val at = indexOfIgnoreCase(tag, name, i)
+      if (at < 0) return ""
+      // must be a standalone attribute name: preceded by ws/quote/start
+      val before = if (at == 0) ' ' else tag.charAt(at - 1)
+      var p = at + name.length
+      while (p < n && Character.isWhitespace(tag.charAt(p))) p += 1
+      // attribute names are whitespace-separated in valid HTML; accepting a
+      // quote-before match would false-positive on "name=" INSIDE a quoted
+      // attribute value
+      if (Character.isWhitespace(before) && p < n && tag.charAt(p) == '=') {
+        p += 1
+        while (p < n && Character.isWhitespace(tag.charAt(p))) p += 1
+        if (p >= n) return ""
+        val q = tag.charAt(p)
+        if (q == '"' || q == '\'') {
+          val e = tag.indexOf(q, p + 1)
+          return decodeEntities(tag.substring(p + 1, if (e < 0) n else e))
+        }
+        var e = p
+        while (e < n && !Character.isWhitespace(tag.charAt(e)) && tag.charAt(e) != '>') e += 1
+        return decodeEntities(tag.substring(p, e))
+      }
+      i = at + name.length
+    }
+    ""
+  }
+
+  def metaOf(html: String): PageMeta = {
+    var description = ""
+    var keywords = ""
+    var canonical = ""
+    var ogTitle = ""
+    var published = ""
+    var noindex = false
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = n
+      else if (html.startsWith("<!--", lt)) {
+        // commented-out markup must not contribute metadata
+        val e = html.indexOf("-->", lt + 4); i = if (e < 0) n else e + 3
+      } else if (html.regionMatches(true, lt, "<meta", 0, 5) ||
+        html.regionMatches(true, lt, "<link", 0, 5)) {
+        val gt = html.indexOf('>', lt)
+        val end = if (gt < 0) n else gt
+        val tag = html.substring(lt, end)
+        if (html.regionMatches(true, lt, "<meta", 0, 5)) {
+          val nm = attrOf(tag, "name").toLowerCase(java.util.Locale.ROOT)
+          val prop = attrOf(tag, "property").toLowerCase(java.util.Locale.ROOT)
+          val content = attrOf(tag, "content")
+          if (nm == "description" && description.isEmpty) description = content
+          else if (nm == "keywords" && keywords.isEmpty) keywords = content
+          else if (prop == "og:title" && ogTitle.isEmpty) ogTitle = content
+          else if (prop == "article:published_time" && published.isEmpty) published = content
+          else if (nm == "robots" &&
+            content.toLowerCase(java.util.Locale.ROOT).contains("noindex")) noindex = true
+        } else {
+          val rel = attrOf(tag, "rel").toLowerCase(java.util.Locale.ROOT)
+          if (rel == "canonical" && canonical.isEmpty) canonical = attrOf(tag, "href")
+        }
+        i = end + 1
+      } else i = lt + 1
+    }
+    PageMeta(titleOf(html), description, keywords, canonical, ogTitle, published, noindex)
+  }
+
   /** Decode raw page bytes: honors a UTF-8 BOM, else UTF-8 (web default). */
   def decodeBytes(bytes: Array[Byte]): String = {
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)

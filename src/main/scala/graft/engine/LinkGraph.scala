@@ -48,6 +48,43 @@ object LinkGraph {
       .filter(col("src_host") =!= "" && col("dst_host") =!= "")
   }
 
+  /** [[hostEdges]] plus the link's anchor text:
+    * `(src_host, dst_host, anchor)` per hyperlink, same scheme filtering
+    * and relative resolution. Anchor text is the element's inner text
+    * (tags stripped, entity-decoded, whitespace-collapsed) — the classic
+    * IR signal: what the WEB calls the target, aggregated downstream into
+    * per-host anchor vocabularies. Same narrow-parse shape as hostEdges.
+    */
+  def anchorEdges(df: DataFrame, urlCol: String, htmlCol: String,
+      resolveRelative: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(col(urlCol).cast("string"), col(htmlCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (u, h) =>
+        if (h == null || u == null) Iterator.empty
+        else graft.core.Html.anchors(graft.core.Html.decodeBytes(h)).iterator
+          .map { case (l, a) => (u, l, a) }
+      })
+      .toDF("src_url", "link", "anchor")
+    val httpAbs = col("link").rlike("(?i)^https?://")
+    val protoRel = col("link").startsWith("//")
+    val schemed = col("link").rlike("(?i)^[a-z][a-z0-9+.-]*:")
+    val srcHost = Blocklist.hostOf(col("src_url"))
+    pairs
+      .filter(httpAbs ||
+        (lit(resolveRelative) && !schemed && !col("link").startsWith("#")))
+      .select(
+        srcHost.as("src_host"),
+        when(httpAbs, Blocklist.hostOf(col("link")))
+          .when(protoRel, Blocklist.hostOf(concat(lit("https:"), col("link"))))
+          .otherwise(srcHost)
+          .as("dst_host"),
+        col("anchor"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
+  }
+
   /** Power-iteration PageRank over host edges: `iters` rounds of
     * rank' = (1-d)/N + d·(Σ_in rank/out + danglingMass/N), dangling mass
     * (hosts with no outlinks) redistributed uniformly, uniform 1/N start.
