@@ -1872,6 +1872,30 @@ object SparkEntry {
       Bpe.tokenCounts(docs, "doc_id", "text", Q90Merges)
         .orderBy("doc_id")
     }),
+    "q91_warc_indexed" -> ((s, dir) => {
+      // q75's ingest routed through the MEMBER INDEX (the .cdx path): the
+      // archives are written once WITH per-record offsets, and the read
+      // seeks straight to each response member — record-range parallelism
+      // instead of file parallelism. SAME ORACLE as q75: the seek path
+      // must be lossless vs the sequential parse. Archive+index build is
+      // memoized per JVM (the q47/q74/q84 convention — trial 2 measures
+      // the indexed read).
+      import s.implicits._
+      val base = cachedIndexedWarcDir(s, dir)
+      val idx = s.read.parquet(s"$base/index").filter(col("warc_type") === "response")
+      graft.sources.Warc.readIndexed(s, idx)
+        .select(col("url"), col("warc_ts"), col("html"),
+          lit("").as("text"), lit("").as("lang"))
+        .as[PageRow]
+        .mapPartitions(_.map { p =>
+          val doc = Extraction.extractOne(p)
+          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
+            p.warc_ts.getTime / 1000L,
+            doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
+        })
+        .toDF("doc_id", "ts_epoch", "n_chars_extracted", "n_tokens", "text_sha256")
+        .orderBy("doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -2057,6 +2081,28 @@ object SparkEntry {
       // the sf1 staging 4x slower than the read it feeds)
       graft.sources.Warc.write(
         pages.repartition(math.max(8, s.sparkContext.defaultParallelism)), out)
+      out
+    })
+
+  /** q91's indexed WARC staging: archives + member-index parquet, one
+    * build per sf dir per JVM (the cachedWarcDir convention).
+    */
+  private val q91Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedIndexedWarcDir(s: SparkSession, dir: String): String =
+    q91Dirs.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_warc_q91").toString
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (s"https://docs.example.com/d/$id",
+            new java.sql.Timestamp((1700000000L + id) * 1000L),
+            boilerplateWrap(text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        })
+        .toDF("url", "warc_ts", "html")
+      graft.sources.Warc.writeIndexed(
+          pages.repartition(math.max(8, s.sparkContext.defaultParallelism)), s"$out/warc")
+        .write.mode("overwrite").parquet(s"$out/index")
       out
     })
 
@@ -3845,5 +3891,13 @@ object SparkEntry {
          |  coalesce(agg.n_bpe, 0) AS n_bpe_tokens
          |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q91: q75's oracle VERBATIM — the indexed seek path must compute the
+    // identical relation as the sequential archive parse.
+    "q91_warc_indexed" ->
+      """SELECT doc_id, 1700000000 + doc_id AS ts_epoch,
+        | CAST(n_chars AS BIGINT) AS n_chars_extracted,
+        | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        | sha256(text) AS text_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

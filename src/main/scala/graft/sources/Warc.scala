@@ -91,6 +91,84 @@ object Warc {
     }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong)).collect().toSeq.sorted
   }
 
+  /** One member-index row — the engine's .cdx: where each record's bytes
+    * live, so a reader can seek straight to any record (the range-split
+    * unit a 100 TB crawl needs: task count = record ranges, not files).
+    */
+  final case class MemberIndex(
+      warc_file: String,
+      warc_rec: Int,
+      offset: Long,
+      length: Long,
+      warc_type: String,
+      url: String,
+      warc_ts: Timestamp)
+
+  /** [[write]] plus the member index: serialize the archives AND return one
+    * index row per record (warcinfo included, `warc_type` distinguishes).
+    * With per-record gzip every member is self-contained, so `offset` is a
+    * valid seek target for [[readIndexed]]; uncompressed archives index the
+    * raw byte ranges. The returned DataFrame is the write's ONLY handle —
+    * materialize it (an action) to execute the write, and persist it
+    * immediately (re-executing the plan rewrites the same deterministic
+    * bytes, but the index is the artifact the crawl keeps).
+    */
+  def writeIndexed(df: DataFrame, outDir: String, gzipPerRecord: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = df.select(
+        col("url").cast("string"),
+        col("warc_ts").cast("timestamp"),
+        col("html").cast("binary"))
+      .as[(String, Timestamp, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.BINARY))
+    rows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = TaskContext.getPartitionId()
+        val name = f"part-$pid%05d.warc" + (if (gzipPerRecord) ".gz" else "")
+        val path = new Path(outDir, name)
+        val fs = path.getFileSystem(conf.t)
+        val out = fs.create(path, true)
+        val idx = Vector.newBuilder[MemberIndex]
+        var pos = 0L
+        var rec = 0
+        def emit(record: Array[Byte], wtype: String, url: String, ts: Timestamp): Unit = {
+          val n = writeMemberCounted(out, gzipPerRecord, record)
+          idx += MemberIndex(path.toString, rec, pos, n, wtype, url, ts)
+          pos += n
+          rec += 1
+        }
+        try {
+          emit(warcinfoRecord(name), "warcinfo", null, null)
+          it.foreach { case (url, ts, html) =>
+            emit(responseRecord(url, ts, html), "response", url, ts)
+          }
+        } finally out.close()
+        idx.result().iterator
+      }
+    }.toDF()
+  }
+
+  /** Serialize one member and return its exact byte length. */
+  private def writeMemberCounted(out: OutputStream, gzip: Boolean, record: Array[Byte]): Long =
+    if (gzip) {
+      // gzip the member to a buffer first: the member's length must be
+      // known exactly, and Hadoop output streams do not expose a position
+      val bos = new ByteArrayOutputStream(record.length / 2 + 64)
+      val gz = new GZIPOutputStream(bos, 8192)
+      gz.write(record)
+      gz.finish()
+      val bytes = bos.toByteArray
+      out.write(bytes)
+      bytes.length.toLong
+    } else {
+      out.write(record)
+      record.length.toLong
+    }
+
   private def writeMember(out: OutputStream, gzip: Boolean, record: Array[Byte]): Unit =
     if (gzip) {
       val gz = new GZIPOutputStream(out, 8192)
@@ -173,6 +251,72 @@ object Warc {
       .toDF()
   }
 
+  /** Range-split ingest via the member index (the true 100 TB parallelism
+    * unit): read ONLY the records named by `index` rows
+    * `(warc_file, warc_rec, offset, length)`, seeking straight to each
+    * member — task count is driven by RECORD RANGES, not file count, so a
+    * crawl of few huge archives still saturates the fleet. Rows
+    * range-partition on (file, offset) so each task works a contiguous
+    * byte range of few files with forward-only seeks and one open handle
+    * per file. Per-record gzip members decompress independently (the
+    * write-side convention that makes this legal). Non-response records in
+    * the index are skipped (consumed exactly like the sequential reader);
+    * a record that does not start with a WARC/ header at its claimed
+    * offset fails LOUD — a stale index must not emit garbage.
+    */
+  def readIndexed(spark: SparkSession, index: DataFrame, slices: Int = 0): DataFrame = {
+    import spark.implicits._
+    val n = if (slices > 0) slices else spark.sparkContext.defaultParallelism
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    index
+      .select(col("warc_file").cast("string"), col("warc_rec").cast("int"),
+        col("offset").cast("long"))
+      .repartitionByRange(n, col("warc_file"), col("offset"))
+      .sortWithinPartitions("warc_file", "offset")
+      .as[(String, Int, Long)]
+      .mapPartitions { it =>
+        var curFile: String = null
+        var raw: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeCur(): Unit = if (raw != null) { raw.close(); raw = null; curFile = null }
+        val out = it.flatMap { case (file, rec, offset) =>
+          if (file != curFile) {
+            closeCur()
+            val p = new Path(file)
+            raw = p.getFileSystem(conf.t).open(p)
+            curFile = file
+          }
+          raw.seek(offset)
+          // per-member stream: gzip members are self-contained; the wrapper
+          // is dropped (not closed) so the underlying handle survives
+          val in: InputStream =
+            if (file.endsWith(".gz")) new GZIPInputStream(new NonClosingInputStream(raw), 1 << 16)
+            else new BufferedInputStream(new NonClosingInputStream(raw), 1 << 16)
+          def fail(msg: String): Nothing = {
+            closeCur()
+            throw new java.io.IOException(s"Warc.readIndexed: $msg (file=$file record=$rec offset=$offset)")
+          }
+          readOneRecord(in, fail) match {
+            case null => fail("EOF at indexed offset")
+            case None => Iterator.empty
+            case Some((headers, block)) =>
+              val url = headers.getOrElse("warc-target-uri", fail("response record without WARC-Target-URI"))
+              Iterator.single(WarcRecord(url, warcTs(headers, fail), httpBody(block, fail), file, rec))
+          }
+        }
+        // close the last handle when the iterator drains
+        out ++ { closeCur(); Iterator.empty }
+      }
+      .toDF()
+  }
+
+  /** Pass-through wrapper whose close() is a no-op: lets a per-member
+    * decompressor be abandoned without closing the shared file handle.
+    */
+  private final class NonClosingInputStream(in: InputStream) extends java.io.FilterInputStream(in) {
+    override def close(): Unit = ()
+  }
+
   /** Continuous ingest: watch `dir` for newly arriving archives; each
     * micro-batch parses only files the source has not seen before (the
     * file-source's checkpointed seen-files log is the exactly-once
@@ -233,40 +377,14 @@ object Warc {
       private var nextRow: WarcRecord = null
       private def advance(): Unit = {
         while (nextRow == null && !closed) {
-          val first = readLine(in)
-          if (first == null) { in.close(); closed = true }
-          else if (first.isEmpty) () // stray blank between records — tolerate
-          else {
-            if (!first.startsWith("WARC/")) fail(s"expected WARC/ header, got '${first.take(40)}'")
-            val headers = scala.collection.mutable.Map.empty[String, String]
-            var line = readLine(in)
-            while (line != null && line.nonEmpty) {
-              val i = line.indexOf(':')
-              if (i < 0) fail(s"malformed header line '${line.take(40)}'")
-              headers.put(line.substring(0, i).trim.toLowerCase, line.substring(i + 1).trim)
-              line = readLine(in)
-            }
-            if (line == null) fail("EOF inside record headers")
-            val len = headers.getOrElse("content-length", fail("missing Content-Length")).toLong
-            if (len > Int.MaxValue - 8) fail(s"record block of $len bytes exceeds the 2 GiB row limit")
-            val block = readFully(in, len.toInt)
-            // the spec's two CRLFs separate records; tolerate EOF right after
-            // the last block (some writers omit the final separator)
-            val sep = readLine(in)
-            if (sep != null && sep.nonEmpty) fail("missing record separator after block")
-            if (sep != null) {
-              val sep2 = readLine(in)
-              if (sep2 != null && sep2.nonEmpty) fail("missing second record separator after block")
-            }
-            rec += 1
-            if (headers.getOrElse("warc-type", "") == "response") {
+          readOneRecord(in, fail) match {
+            case null => in.close(); closed = true
+            case None => rec += 1 // non-response record, consumed and skipped
+            case Some((headers, block)) =>
+              rec += 1
               val url = headers.getOrElse("warc-target-uri", fail("response record without WARC-Target-URI"))
-              val ts = headers.get("warc-date").map(d =>
-                Timestamp.from(try Instant.parse(d) catch {
-                  case _: java.time.format.DateTimeParseException => fail(s"bad WARC-Date '$d'")
-                })).orNull
+              val ts = warcTs(headers, fail)
               nextRow = WarcRecord(url, ts, httpBody(block, fail), file, rec - 1)
-            }
           }
         }
       }
@@ -278,6 +396,47 @@ object Warc {
       }
     }
   }
+
+  /** Read exactly one WARC record off the stream: null at clean EOF,
+    * `None` for a consumed non-response record, `Some((headers, block))`
+    * for a response. Shared by the sequential parser and the indexed
+    * (seek) reader so both paths enforce the same loud-failure contract.
+    */
+  private def readOneRecord(in: InputStream, fail: String => Nothing)
+      : Option[(collection.Map[String, String], Array[Byte])] = {
+    var first = readLine(in)
+    // stray blanks between records — tolerate
+    while (first != null && first.isEmpty) first = readLine(in)
+    if (first == null) return null
+    if (!first.startsWith("WARC/")) fail(s"expected WARC/ header, got '${first.take(40)}'")
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i < 0) fail(s"malformed header line '${line.take(40)}'")
+      headers.put(line.substring(0, i).trim.toLowerCase, line.substring(i + 1).trim)
+      line = readLine(in)
+    }
+    if (line == null) fail("EOF inside record headers")
+    val len = headers.getOrElse("content-length", fail("missing Content-Length")).toLong
+    if (len > Int.MaxValue - 8) fail(s"record block of $len bytes exceeds the 2 GiB row limit")
+    val block = readFully(in, len.toInt)
+    // the spec's two CRLFs separate records; tolerate EOF right after
+    // the last block (some writers omit the final separator)
+    val sep = readLine(in)
+    if (sep != null && sep.nonEmpty) fail("missing record separator after block")
+    if (sep != null) {
+      val sep2 = readLine(in)
+      if (sep2 != null && sep2.nonEmpty) fail("missing second record separator after block")
+    }
+    if (headers.getOrElse("warc-type", "") == "response") Some((headers, block)) else None
+  }
+
+  private def warcTs(headers: collection.Map[String, String], fail: String => Nothing): Timestamp =
+    headers.get("warc-date").map(d =>
+      Timestamp.from(try Instant.parse(d) catch {
+        case _: java.time.format.DateTimeParseException => fail(s"bad WARC-Date '$d'")
+      })).orNull
 
   /** Split an application/http block at the first CRLF CRLF: the payload is
     * everything after the HTTP response headers.
