@@ -1896,6 +1896,54 @@ object SparkEntry {
         .toDF("doc_id", "ts_epoch", "n_chars_extracted", "n_tokens", "text_sha256")
         .orderBy("doc_id")
     }),
+    "q92_canonical_dedup" -> ((s, dir) => {
+      // rel=canonical dedup — the crawl-side complement of url-key dedup:
+      // pages DECLARE their canonical form, and mirror/variant URLs
+      // collapse onto it. Every 3 consecutive docs share a canonical
+      // (planted in the head); keepFirstBy keeps the lowest doc_id of
+      // each group. Composes Structure.pageMeta (narrow parse) with the
+      // one-exchange window dedup.
+      val meta = Structure.pageMeta(q92Pages(s, dir), "doc_id", "html")
+        .select(col("doc_id"), col("canonical"))
+      Dedup.keepFirstBy(meta, "doc_id", col("canonical"))
+        .orderBy("doc_id")
+    }),
+    "q93_heading_outline" -> ((s, dir) => {
+      // document outline extraction: h1-h6 headings with ancestor paths
+      // (the HTML5 outline pop discipline — a sibling h2 pops the previous
+      // h2+h3 before pushing). The planted 4-heading lattice exercises
+      // push, deepen, and pop; every heading and path is closed-form in
+      // doc_id.
+      Structure.outline(q93Pages(s, dir), "doc_id", "html")
+        .orderBy("doc_id", "seq")
+    }),
+    "q94_crawl_planner" -> ((s, dir) => {
+      // composed crawl scheduling: which frontier URLs to fetch next.
+      // (1) host in-link counts from the page graph (q79's planted
+      // lattice — the OPIC-style priority signal, integer-exact);
+      // (2) robots-exclusion gate on the candidate frontier (q88's rule
+      // shapes on site hosts); (3) per-host fetch budget: top-2 allowed
+      // URLs per host by doc_id. One linear plan: edge agg → broadcast
+      // rule join + narrow verdict kernel → window rank; every stage
+      // replayable in SQL.
+      val inlinks = LinkGraph.hostEdges(q79Pages(s, dir), "url", "html")
+        .groupBy(col("dst_host").as("host"))
+        .agg(count(lit(1)).cast("long").as("in_links"))
+      val frontier = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), col("doc_id") % 23, lit(".example/p"),
+          col("doc_id") % 4, lit("/page"), col("doc_id")).as("url"))
+      val allowed = Robots.filterAllowed(frontier, "url", q94Robots(s), agent = "graftbot")
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+      allowed
+        .withColumn("host", Blocklist.hostOf(col("url")))
+        .join(inlinks, Seq("host"), "left")
+        .withColumn("fetch_rank", row_number().over(w))
+        .filter(col("fetch_rank") <= 2)
+        .select(col("host"), col("doc_id"), col("url"),
+          coalesce(col("in_links"), lit(0L)).as("in_links"),
+          col("fetch_rank").cast("int").as("fetch_rank"))
+        .orderBy("host", "fetch_rank")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -2083,6 +2131,70 @@ object SparkEntry {
         pages.repartition(math.max(8, s.sparkContext.defaultParallelism)), out)
       out
     })
+
+  /** q92's page set: every 3 consecutive docs declare the SAME
+    * `rel=canonical` target (the mirror/variant-URL shape), so canonical
+    * dedup must keep exactly the lowest doc_id of each triple.
+    */
+  private def q92Pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val html = "<html><head>" +
+          s"""<link rel="canonical" href="https://docs.example.com/c/${id - id % 3}">""" +
+          s"</head><body><p>variant $id</p></body></html>"
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF("doc_id", "html")
+  }
+
+  /** q93's page set: a 4-heading lattice (h1 → h2 → h3 → sibling h2) that
+    * exercises outline push, deepen, and pop — every heading and ancestor
+    * path is closed-form in doc_id.
+    */
+  private def q93Pages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val html = "<html><body>" +
+          s"<h1>Part ${id % 3}</h1><p>intro text</p>" +
+          s"<h2>Chapter ${id % 5}</h2><p>chapter text</p>" +
+          s"<h3>Section ${id % 7}</h3><p>section text</p>" +
+          s"<h2>Chapter ${(id + 1) % 5}</h2><p>closing text</p>" +
+          "</body></html>"
+        (id, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      .toDF("doc_id", "html")
+  }
+
+  /** q94's robots rules for the `site{k}.example` hosts: q88's two group
+    * shapes keyed by k's parity, with every k ≡ 4 (mod 5) host missing its
+    * robots row (must pass).
+    */
+  private def q94Robots(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 to 22).filter(_ % 5 != 4).map { k =>
+      val txt =
+        if (k % 2 == 0)
+          s"""User-agent: graftbot
+             |Disallow: /p${k % 4}/
+             |Allow: /p${k % 4}/page*0$$
+             |
+             |User-agent: *
+             |Disallow: /
+             |""".stripMargin
+        else
+          """User-agent: other
+            |Disallow: /
+            |
+            |User-agent: *
+            |Disallow: /p1/
+            |Disallow: /p3/
+            |Allow: /p3/page1*
+            |""".stripMargin
+      (s"site$k.example", txt)
+    }.toDF("host", "robots_txt")
+  }
 
   /** q91's indexed WARC staging: archives + member-index parquet, one
     * build per sf dir per JVM (the cachedWarcDir convention).
@@ -3899,5 +4011,59 @@ object SparkEntry {
         | CAST(length(list_filter(string_split_regex(text, '[ \n\t\f]'), x -> x <> '')) AS BIGINT) AS n_tokens,
         | sha256(text) AS text_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q92: keepFirstBy keeps min(doc_id) per declared canonical group —
+    // exactly the grouped min, no contiguity assumption.
+    "q92_canonical_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  'https://docs.example.com/c/' || g AS canonical
+        |FROM (SELECT doc_id, doc_id - doc_id % 3 AS g FROM documents)
+        |GROUP BY g ORDER BY doc_id""".stripMargin,
+    // q93: the 4-heading outline unrolled — push (h1), nest (h2, h3), pop
+    // to a sibling h2; paths concatenate the live ancestor stack.
+    "q93_heading_outline" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |o AS (
+        |  SELECT doc_id, CAST(0 AS INT) AS seq, CAST(1 AS INT) AS level,
+        |    'Part ' || (doc_id % 3) AS heading,
+        |    'Part ' || (doc_id % 3) AS path FROM ids
+        |  UNION ALL SELECT doc_id, CAST(1 AS INT), CAST(2 AS INT),
+        |    'Chapter ' || (doc_id % 5),
+        |    'Part ' || (doc_id % 3) || ' > Chapter ' || (doc_id % 5) FROM ids
+        |  UNION ALL SELECT doc_id, CAST(2 AS INT), CAST(3 AS INT),
+        |    'Section ' || (doc_id % 7),
+        |    'Part ' || (doc_id % 3) || ' > Chapter ' || (doc_id % 5)
+        |      || ' > Section ' || (doc_id % 7) FROM ids
+        |  UNION ALL SELECT doc_id, CAST(3 AS INT), CAST(2 AS INT),
+        |    'Chapter ' || ((doc_id + 1) % 5),
+        |    'Part ' || (doc_id % 3) || ' > Chapter ' || ((doc_id + 1) % 5) FROM ids)
+        |SELECT * FROM o ORDER BY doc_id, seq""".stripMargin,
+    // q94: in-link counts from the q79 edge lattice, robots verdicts as
+    // doc_id arithmetic (q88's derivation on site hosts, k ≡ 4 mod 5
+    // rowless), per-host top-2 window — all integer-exact.
+    "q94_crawl_planner" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT 'src' || (doc_id % 11) || '.example' AS dst FROM d
+        |  UNION ALL SELECT 'site' || ((doc_id + 1) % 23) || '.example' FROM d
+        |  UNION ALL SELECT 'site' || ((2 * doc_id + 5) % 23) || '.example' FROM d),
+        |il AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_links
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT doc_id, doc_id % 23 AS k, doc_id % 4 AS p,
+        |    'https://site' || (doc_id % 23) || '.example/p' || (doc_id % 4)
+        |      || '/page' || doc_id AS url FROM d),
+        |a AS (SELECT doc_id, k, url,
+        |    CASE WHEN k % 5 = 4 THEN TRUE
+        |         WHEN k % 2 = 0 THEN (p <> k % 4) OR (doc_id % 10 = 0)
+        |         ELSE p = 0 OR p = 2
+        |           OR (p = 3 AND CAST(doc_id AS VARCHAR) LIKE '1%') END AS ok
+        |  FROM f),
+        |r AS (SELECT 'site' || k || '.example' AS host, doc_id, url,
+        |    CAST(row_number() OVER (PARTITION BY k ORDER BY doc_id) AS INT)
+        |      AS fetch_rank
+        |  FROM a WHERE ok)
+        |SELECT r.host AS host, r.doc_id, r.url,
+        |  coalesce(il.in_links, 0) AS in_links, fetch_rank
+        |FROM r LEFT JOIN il ON r.host = il.host
+        |WHERE fetch_rank <= 2 ORDER BY r.host, fetch_rank""".stripMargin,
   )
 }

@@ -35,6 +35,35 @@ object Structure {
       .toDF(idCol, "table_idx", "row_idx", "col_idx", "is_header", "cell")
   }
 
+  /** Document heading outline: one row per `<h1>`-`<h6>` block in reading
+    * order with its ancestor path — `(id, seq, level, heading, path)`,
+    * `path` = ancestor headings joined by " > " (a deeper-or-equal heading
+    * pops the stack to its parent level first, the HTML5 outline
+    * discipline). Rides [[graft.core.Html.blocks]]' heading tracking, so
+    * boilerplate protections (script/comment/title) are inherited; same
+    * narrow one-pass shape as the other extractors.
+    */
+  def outline(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(htmlCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, h) =>
+        if (h == null) Iterator.empty
+        else {
+          val heads = graft.core.Html.blocks(graft.core.Html.decodeBytes(h))
+            .filter(_.headingLevel > 0)
+          val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+          heads.iterator.zipWithIndex.map { case (b, seq) =>
+            while (stack.nonEmpty && stack.last._1 >= b.headingLevel) stack.remove(stack.length - 1)
+            stack += ((b.headingLevel, b.text))
+            (id, seq, b.headingLevel, b.text, stack.map(_._2).mkString(" > "))
+          }
+        }
+      })
+      .toDF(idCol, "seq", "level", "heading", "path")
+  }
+
   /** Page metadata row per input page:
     * `(id, title, description, keywords, canonical, og_title, published,
     * noindex)` — first occurrence wins per field, commented-out markup
