@@ -1944,6 +1944,26 @@ object SparkEntry {
           col("fetch_rank").cast("int").as("fetch_rank"))
         .orderBy("host", "fetch_rank")
     }),
+    "q95_bm25_segmented" -> ((s, dir) => {
+      // q81's search through the SEGMENTED incremental index: the corpus
+      // is indexed as two disjoint crawl batches (even/odd doc_id), each
+      // its own immutable segment (postings WITHOUT denormalized df +
+      // per-segment df table); the search reassembles the global df from
+      // the pruned per-segment term reads. SAME ORACLE as q81/q84 — a
+      // two-segment index must compute the identical relation as the
+      // monolithic one. Build memoized per JVM (trial 2 measures the
+      // multi-segment search).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idxDir = cachedSegmentedIndexDir(s"$dir/documents#q95", s, docs)
+      val queries = docs.filter(col("doc_id") % 61 === 0 && col("doc_id") < 488)
+        .select((col("doc_id") / 61).cast("long").as("query_id"),
+          concat_ws(" ", slice(Retrieval.alnumTokens(col("text")), 1, 12)).as("qtext"))
+      graft.jobs.RetrievalIndexJob.searchSegments(s, idxDir, queries,
+          minMatchNum = 1, minMatchDen = 5)
+        .select(col("query_id"), col("id").as("doc_id"), col("qn"),
+          col("n_matched"), col("tf_mass"), round(col("score"), 4).as("bm25_4dp"))
+        .orderBy("query_id", "doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -2195,6 +2215,21 @@ object SparkEntry {
       (s"site$k.example", txt)
     }.toDF("host", "robots_txt")
   }
+
+  /** q95's segmented-index staging: two disjoint crawl-batch segments
+    * (even/odd doc_id), one build per sf dir per JVM.
+    */
+  private val q95Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedSegmentedIndexDir(key: String, s: SparkSession, docs: DataFrame): String =
+    q95Dirs.computeIfAbsent(key, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_bm25_seg").toString
+      graft.jobs.RetrievalIndexJob.addSegment(
+        s, out, docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "batch-even")
+      graft.jobs.RetrievalIndexJob.addSegment(
+        s, out, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "batch-odd")
+      out
+    })
 
   /** q91's indexed WARC staging: archives + member-index parquet, one
     * build per sf dir per JVM (the cachedWarcDir convention).
@@ -3828,6 +3863,9 @@ object SparkEntry {
     // q84 shares it verbatim: the persisted bucket-pruned index path must
     // compute the identical relation.
     "q81_bm25_retrieval" -> bm25OracleSql,
+    // q95 shares it too: the two-segment incremental index must compute
+    // the identical relation as the monolithic build.
+    "q95_bm25_segmented" -> bm25OracleSql,
     "q84_bm25_indexed" -> bm25OracleSql,
     // q82: q56's page construction, then the document-frequency rule
     // replayed independently — any line in >= 3 distinct docs is removed

@@ -73,6 +73,82 @@ object RetrievalIndexJob {
       nDocs, totalTerms.toDouble / nDocs.toDouble, minMatchNum, minMatchDen, k1, b)
   }
 
+  // ------------------------------------------------------- segmented index
+
+  /** Incremental indexing, Lucene's segment model adapted: each crawl
+    * batch becomes its OWN immutable segment — postings WITHOUT the
+    * denormalized df (df is a global statistic; baking it in is what
+    * forces the monolithic index to rebuild on every batch) plus a
+    * per-segment `(term, df)` table, both bucket-partitioned with the
+    * same hash as [[build]]. Adding a batch costs O(batch) and touches no
+    * existing segment file; the global df is reassembled at query time
+    * from the PRUNED per-segment term tables (query-term-sized work).
+    * Caller contract: segments hold disjoint doc ids (crawl batches).
+    */
+  def addSegment(spark: SparkSession, outDir: String, docs: DataFrame,
+      idCol: String, textCol: String, segment: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"RetrievalIndexJob.addSegment: nBuckets must be > 0, got $nBuckets")
+    require(segment.matches("[A-Za-z0-9_-]+"),
+      s"RetrievalIndexJob.addSegment: segment name must be path-safe, got '$segment'")
+    import spark.implicits._
+    val idx = Retrieval.buildIndex(docs, idCol, textCol)
+    idx.postings
+      .withColumn("bucket", bucketOf(nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$outDir/segments/$segment/postings")
+    idx.termStats
+      .withColumn("bucket", bucketOf(nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$outDir/segments/$segment/terms")
+    Seq((segment, idx.nDocs, idx.totalTerms, nBuckets))
+      .toDF("segment", "n_docs", "total_terms", "n_buckets")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/segmeta")
+  }
+
+  /** Search across every registered segment: global n_docs/avgdl from the
+    * segment metas (a bounded collect — one row per segment), global df =
+    * SUM of per-segment dfs over the pruned term reads (disjoint doc ids
+    * make df additive), then the same broadcast-join + scoreMatched shape
+    * as [[search]]. Every per-segment read is planning-time
+    * bucket-pruned; the unioned postings scan is the only corpus-sized
+    * input and it never shuffles on term — the one exchange is
+    * scoreMatched's (query, doc) aggregation.
+    */
+  def searchSegments(spark: SparkSession, outDir: String, queries: DataFrame,
+      minMatchNum: Int = 3, minMatchDen: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val metas =
+      try spark.read.parquet(s"$outDir/segmeta").collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"searchSegments: no segment registry at $outDir/segmeta", e)
+      }
+    require(metas.nonEmpty, s"searchSegments: no segments registered under $outDir")
+    val nBucketsAll = metas.map(_.getAs[Int]("n_buckets")).distinct
+    require(nBucketsAll.length == 1,
+      s"searchSegments: segments disagree on n_buckets: ${nBucketsAll.mkString(",")}")
+    val nBuckets = nBucketsAll.head
+    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
+    val totalTerms = metas.map(_.getAs[Long]("total_terms")).sum
+    val segments = metas.map(_.getAs[String]("segment")).sorted
+    val qt = Retrieval.queryTerms(queries).localCheckpoint(true)
+    val buckets = qt.select(bucketOf(nBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val bucketIds = buckets.map(Integer.valueOf)
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$outDir/segments/$sub")
+        .filter(col("bucket").isin(bucketIds: _*))
+    val dfGlobal = segments.map(s => pruned(s"$s/terms"))
+      .reduce(_ unionByName _)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(sum("df").as("df"))
+    val posts = segments.map(s => pruned(s"$s/postings")).reduce(_ unionByName _)
+    Retrieval.scoreMatched(
+      posts.join(broadcast(qt), Seq("term")).join(broadcast(dfGlobal), Seq("term")),
+      nDocs, totalTerms.toDouble / nDocs.toDouble, minMatchNum, minMatchDen, k1, b)
+  }
+
   // query-surface cache: one on-disk index per corpus key per JVM (bench
   // trial 2 measures the search path, not the build; production builds
   // against a durable path itself)

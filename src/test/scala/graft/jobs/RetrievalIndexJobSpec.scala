@@ -72,4 +72,73 @@ class RetrievalIndexJobSpec extends AnyFunSuite {
       m.getAs[Long]("total_terms") == idx.totalTerms &&
       m.getAs[Int]("n_buckets") == 8)
   }
+
+  // ---------------------------------------------------------- segments
+
+  test("segmented search equals the monolithic index at 4dp") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25_seg1").toString
+    RetrievalIndexJob.addSegment(spark, out,
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", "even", nBuckets = 16)
+    RetrievalIndexJob.addSegment(spark, out,
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", "odd", nBuckets = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("id"), col("qn"), col("n_matched"),
+        col("tf_mass"), round(col("score"), 4).as("s4"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val segmented = canon(RetrievalIndexJob.searchSegments(spark, out, queries, 1, 5))
+    val inline = canon(Retrieval.search(
+      Retrieval.buildIndex(corpus, "doc_id", "text"), queries, 1, 5))
+    assert(segmented.nonEmpty && segmented == inline)
+  }
+
+  test("adding a segment leaves existing segment files byte-untouched") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25_seg2").toString
+    RetrievalIndexJob.addSegment(spark, out,
+      corpus.filter(col("doc_id") < 3), "doc_id", "text", "s0", nBuckets = 8)
+    def snapshot(): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(out, "segments", "s0")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toMap
+    }
+    val before = snapshot()
+    RetrievalIndexJob.addSegment(spark, out,
+      corpus.filter(col("doc_id") >= 3), "doc_id", "text", "s1", nBuckets = 8)
+    assert(snapshot() == before, "existing segment files must not be rewritten")
+  }
+
+  test("global df is the sum of per-segment dfs (disjoint batches)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25_seg3").toString
+    RetrievalIndexJob.addSegment(spark, out,
+      corpus.filter(col("doc_id") < 3), "doc_id", "text", "a", nBuckets = 4)
+    RetrievalIndexJob.addSegment(spark, out,
+      corpus.filter(col("doc_id") >= 3), "doc_id", "text", "b", nBuckets = 4)
+    val summed = spark.read.parquet(s"$out/segments/a/terms")
+      .unionByName(spark.read.parquet(s"$out/segments/b/terms"))
+      .groupBy("term").agg(sum("df").as("df"))
+    val whole = Retrieval.buildIndex(corpus, "doc_id", "text").termStats
+    assert(summed.select("term", "df").except(whole).isEmpty &&
+      whole.except(summed.select("term", "df")).isEmpty)
+  }
+
+  test("segments disagreeing on n_buckets refuse; empty dir refuses; bad name refuses") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25_seg4").toString
+    intercept[IllegalArgumentException] {
+      RetrievalIndexJob.searchSegments(
+        spark, java.nio.file.Files.createTempDirectory("graft_bm25_seg5").toString + "/none",
+        queries)
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalIndexJob.addSegment(spark, out, corpus, "doc_id", "text", "../evil")
+    }
+    RetrievalIndexJob.addSegment(spark, out, corpus.filter(col("doc_id") < 2),
+      "doc_id", "text", "x", nBuckets = 4)
+    RetrievalIndexJob.addSegment(spark, out, corpus.filter(col("doc_id") >= 2),
+      "doc_id", "text", "y", nBuckets = 8)
+    intercept[IllegalArgumentException] {
+      RetrievalIndexJob.searchSegments(spark, out, queries)
+    }
+  }
 }
