@@ -1964,6 +1964,28 @@ object SparkEntry {
           col("n_matched"), col("tf_mass"), round(col("score"), 4).as("bm25_4dp"))
         .orderBy("query_id", "doc_id")
     }),
+    "q96_fix_mojibake" -> ((s, dir) => {
+      // encoding hygiene (the ftfy stage): repair UTF-8-as-CP1252
+      // mojibake via the strict round-trip test. Each doc carries one
+      // PLANTED mojibake string (must repair — including the 0x9D
+      // undefined-CP1252 byte of a curly close-quote) and one genuinely
+      // accented clean string (must pass through untouched: a real é is
+      // CP1252 0xE9, never a valid UTF-8 head+continuation). Both
+      // outcomes are closed-form in doc_id.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val m = s"cafÃ© nÂ°${id % 7} " +
+            "â€œquoteâ€"
+          val c = s"résumé ${id % 5}"
+          val fm = Encoding.repairMojibake(m)
+          val fc = Encoding.repairMojibake(c)
+          (id, fm, fc, fm != m, fc != c)
+        })
+        .toDF("doc_id", "fixed_mojibake", "fixed_clean",
+          "repaired_mojibake", "repaired_clean")
+        .orderBy("doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -4103,5 +4125,17 @@ object SparkEntry {
         |  coalesce(il.in_links, 0) AS in_links, fetch_rank
         |FROM r LEFT JOIN il ON r.host = il.host
         |WHERE fetch_rank <= 2 ORDER BY r.host, fetch_rank""".stripMargin,
+    // q96: both planted strings and their repairs are closed-form in
+    // doc_id. The mojibake plant is UTF-8 bytes misdecoded as CP1252
+    // (é→Ã©, °→Â°, “→â€œ, ”→â€+U+009D); the repair round-trip recovers
+    // the clean text, so the oracle states the clean text directly. The
+    // genuinely-accented control string must come through untouched.
+    "q96_fix_mojibake" ->
+      """SELECT doc_id,
+        |  'café n°' || (doc_id % 7) || ' “quote”' AS fixed_mojibake,
+        |  'résumé ' || (doc_id % 5) AS fixed_clean,
+        |  TRUE AS repaired_mojibake,
+        |  FALSE AS repaired_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
