@@ -1986,6 +1986,26 @@ object SparkEntry {
           "repaired_mojibake", "repaired_clean")
         .orderBy("doc_id")
     }),
+    "q97_normalize_text" -> ((s, dir) => {
+      // Unicode hygiene (the stage after mojibake repair): per doc, a
+      // planted dirty string exercises every rule — NFC composition
+      // (e+U+0301), CRLF/CR/FF newline canonicalization, format-invisible
+      // strips (ZWSP/SHY/WJ/BOM), C0/C1 control strips with tab kept.
+      // The oracle rebuilds the same plant with chr() and replays the
+      // rules with DuckDB's own nfc_normalize + RE2 classes — an
+      // independent Unicode implementation agreeing byte-for-byte.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val dirty = "Cafe\u0301 " + (id % 9) + "\r\nzero\u200bwidth" +
+            "\u00adsoft\u2060join\ufeff tab\tkeep\u0007bell\u0085nel" +
+            "\rcr\fff"
+          val clean = Encoding.normalizeText(dirty)
+          (id, clean, dirty.length - clean.length, clean != dirty)
+        })
+        .toDF("doc_id", "clean_text", "removed", "changed")
+        .orderBy("doc_id")
+    }),
   )
 
   /** q79/q80's page set: one page per document with a planted
@@ -4137,5 +4157,28 @@ object SparkEntry {
         |  TRUE AS repaired_mojibake,
         |  FALSE AS repaired_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q97: rebuild the planted dirty string with chr() and replay the
+    // normalization rules with DuckDB's own Unicode machinery —
+    // nfc_normalize for composition, RE2 classes for the strips. Two
+    // independent Unicode implementations must agree byte-for-byte.
+    "q97_normalize_text" ->
+      """WITH d AS (SELECT doc_id,
+        |  'Cafe' || chr(769) || ' ' || (doc_id % 9) || chr(13) || chr(10) ||
+        |  'zero' || chr(8203) || 'width' || chr(173) || 'soft' || chr(8288) ||
+        |  'join' || chr(65279) || ' tab' || chr(9) || 'keep' || chr(7) || 'bell' ||
+        |  chr(133) || 'nel' || chr(13) || 'cr' || chr(12) || 'ff' AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty,
+        |  nfc_normalize(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(dirty, '\r\n?|\f', chr(10), 'g'),
+        |        '[\x{200B}\x{00AD}\x{2060}\x{FEFF}]', '', 'g'),
+        |      '[\x{0000}-\x{0008}\x{000B}\x{000E}-\x{001F}\x{007F}-\x{009F}]', '', 'g')) AS clean_text
+        |  FROM d)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(dirty) - length(clean_text) AS INT) AS removed,
+        |  clean_text <> dirty AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
   )
 }

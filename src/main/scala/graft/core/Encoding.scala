@@ -87,6 +87,55 @@ object Encoding {
     }
   }
 
+  /** Canonical text normalization — the Unicode-hygiene stage that runs
+    * right after mojibake repair in a web-text pipeline:
+    *
+    *  - newline canonicalization: `\r\n` → `\n`, lone `\r` → `\n`, and
+    *    `\f` → `\n` (the reference's own line-splitter convention,
+    *    konfuzio_sdk information_extraction.py:1391–1396 maps form feeds
+    *    to newlines before splitting);
+    *  - strip format-layer invisibles that break tokenization and dedup
+    *    (ZWSP U+200B, soft hyphen U+00AD, word joiner U+2060, BOM/ZWNBSP
+    *    U+FEFF) — but NOT ZWNJ/ZWJ, which are orthographic in Persian and
+    *    Indic scripts;
+    *  - strip remaining C0 controls (except `\t`/`\n`), DEL, and the C1
+    *    block 0x80–0x9F (mojibake residue; q96's repair emits none, but
+    *    raw crawls carry them);
+    *  - Unicode NFC composition (so `e`+U+0301 and `é` hash identically
+    *    across the dedup stages).
+    *
+    * Scale shape: per-row scalar, single pass + an NFC call only when the
+    * quick check fails; ASCII-after-strip text never allocates for NFC.
+    */
+  def normalizeText(s: String): String = {
+    if (s == null) return null
+    var sb: java.lang.StringBuilder = null
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val mapped: Int =
+        if (c == '\r') { if (i + 1 < s.length && s.charAt(i + 1) == '\n') -2 else '\n' }
+        else if (c == '\f') '\n'
+        else if (c == 0x200b || c == 0x00ad || c == 0x2060 || c == 0xfeff) -1
+        else if (c < 0x20 && c != '\t' && c != '\n') -1
+        else if (c >= 0x7f && c <= 0x9f) -1
+        else c
+      if (sb == null && mapped != c) {
+        sb = new java.lang.StringBuilder(s.length)
+        sb.append(s, 0, i)
+      }
+      if (sb != null) mapped match {
+        case -2 => // \r of a \r\n pair: drop, the \n follows
+        case -1 => // stripped
+        case m => sb.append(m.toChar)
+      }
+      i += 1
+    }
+    val swept = if (sb == null) s else sb.toString
+    if (java.text.Normalizer.isNormalized(swept, java.text.Normalizer.Form.NFC)) swept
+    else java.text.Normalizer.normalize(swept, java.text.Normalizer.Form.NFC)
+  }
+
   /** Repair UTF-8-as-CP1252 mojibake, up to `maxPasses` nested layers
     * (double-encoded text — pasted mojibake re-crawled — repairs in two).
     * Returns the input unchanged when no full-string repair applies.

@@ -60,6 +60,36 @@ class EncodingSpec extends AnyFunSuite {
     assert(Encoding.repairMojibake("") == "")
   }
 
+  test("normalizeText: newline canonicalization (CRLF, CR, FF)") {
+    assert(Encoding.normalizeText("a\r\nb\rc\fd") == "a\nb\nc\nd")
+    assert(Encoding.normalizeText("tail\r") == "tail\n")
+  }
+
+  test("normalizeText: format invisibles stripped, ZWNJ/ZWJ preserved") {
+    assert(Encoding.normalizeText("zero\u200bwidth\u00adsoft\u2060wj\ufeffbom") ==
+      "zerowidthsoftwjbom")
+    // orthographic joiners stay (Persian/Indic text breaks without them)
+    assert(Encoding.normalizeText("a\u200cb\u200dc") == "a\u200cb\u200dc")
+  }
+
+  test("normalizeText: C0/C1 controls stripped except tab and newline") {
+    assert(Encoding.normalizeText("a\u0007b\u0000 c") == "ab c")
+    assert(Encoding.normalizeText("keep\ttab\nand nl") == "keep\ttab\nand nl")
+    assert(Encoding.normalizeText("del\u007fc1\u0085x") == "delc1x")
+  }
+
+  test("normalizeText: NFC composition") {
+    assert(Encoding.normalizeText("Cafe\u0301") == "Caf\u00e9")
+    assert(Encoding.normalizeText("Caf\u00e9") == "Caf\u00e9")
+  }
+
+  test("normalizeText: ASCII identity returns the same reference; null-safe") {
+    val s = "already clean ascii\twith\ttabs\n"
+    assert(Encoding.normalizeText(s) eq s)
+    assert(Encoding.normalizeText(null) == null)
+    assert(Encoding.normalizeText("") == "")
+  }
+
   test("characters outside CP1252 block the repair (all-or-nothing)") {
     // a CJK char cannot be a CP1252 misdecode artifact, so even if the
     // rest looks like mojibake the whole string is left alone
