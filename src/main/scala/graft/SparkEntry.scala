@@ -1986,6 +1986,15 @@ object SparkEntry {
           "repaired_mojibake", "repaired_clean")
         .orderBy("doc_id")
     }),
+    "q98_context_windows" -> ((s, dir) => {
+      // training-window layout: overlapping 32-token windows every 24
+      // tokens within each document (tail clamped, no token dropped) —
+      // a single narrow codegen stage (split once, transform+posexplode),
+      // no shuffle; the oracle replays the slicing with DuckDB list ops.
+      Pack.contextWindows(t(s, dir, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "win_idx")
+    }),
     "q97_normalize_text" -> ((s, dir) => {
       // Unicode hygiene (the stage after mojibake repair): per doc, a
       // planted dirty string exercises every rule — NFC composition
@@ -4157,6 +4166,24 @@ object SparkEntry {
         |  TRUE AS repaired_mojibake,
         |  FALSE AS repaired_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q98: the window lattice replayed with DuckDB list slicing (1-based
+    // inclusive, auto-clamped — same semantics as Spark's slice). range
+    // cap 200 windows covers 4700 tokens at stride 24; the guard fails
+    // LOUDLY if a document ever exceeds it instead of silently dropping
+    // windows.
+    "q98_context_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |guard AS (SELECT CASE WHEN max(len(ws)) > 4700
+        |    THEN error('q98 oracle: document exceeds the 4700-token range cap')
+        |    ELSE 0 END AS g FROM d),
+        |w AS (SELECT doc_id, CAST(j AS INT) AS win_idx,
+        |    CAST(j * 24 AS INT) AS start_tok,
+        |    CAST(least(j * 24 + 32, len(ws)) AS INT) AS end_tok,
+        |    array_to_string(ws[j*24+1 : j*24+32], ' ') AS win_text
+        |  FROM d, range(0, 200) t(j) WHERE j * 24 < len(ws))
+        |SELECT doc_id, win_idx, start_tok, end_tok, win_text
+        |FROM w, guard WHERE guard.g = 0
+        |ORDER BY doc_id, win_idx""".stripMargin,
     // q97: rebuild the planted dirty string with chr() and replay the
     // normalization rules with DuckDB's own Unicode machinery —
     // nfc_normalize for composition, RE2 classes for the strips. Two

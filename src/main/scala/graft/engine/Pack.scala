@@ -81,4 +81,46 @@ object Pack {
       .toDF(idCol, "n_tokens", "start_pos", "shard_start", "shard_end",
         "spans_boundary")
   }
+
+  /** Within-document sliding context windows — the OTHER training layout
+    * (vs [[chunkAssign]]'s cross-document stream packing): each document's
+    * whitespace-token sequence is cut into overlapping windows of `window`
+    * tokens every `stride` tokens (window k covers tokens
+    * `[k*stride, min(k*stride+window, n))`; every k with `k*stride < n`
+    * emits, so the tail window may be short but no token is dropped and
+    * consecutive windows overlap by `window - stride` tokens — the
+    * standard long-document training recipe).
+    *
+    * Output: one row per (document, window) with `win_idx`, `start_tok`,
+    * `end_tok` (exclusive), and the window text.
+    *
+    * Scale shape: entirely built-in Catalyst — split once, then
+    * `posexplode(transform(sequence(...)))` slices the cached token array;
+    * a narrow codegen stage with no shuffle and no UDF. Output size is
+    * `~n/stride` rows per document — the caller chooses the expansion
+    * factor explicitly via `stride`.
+    */
+  def contextWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"contextWindows: window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"contextWindows: stride must be in [1, window], got $stride")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // number of windows: ceil(n / stride) (n=0 never occurs: split("")
+    // yields [""], n=1)
+    val nWin = ceil(n.cast("double") / stride).cast("int")
+    df.select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"),
+        n.as("__n"), nWin.as("__nw"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nw") - 1), k =>
+          struct(
+            (k * stride).cast("int").as("start_tok"),
+            least(k * stride + window, col("__n")).cast("int").as("end_tok"),
+            array_join(slice(col("__toks"), k * stride + 1, lit(window)), " ")
+              .as("win_text")))).as(Seq("win_idx", "__w")))
+      .select(col("doc_id"), col("win_idx").cast("int").as("win_idx"),
+        col("__w.start_tok").as("start_tok"), col("__w.end_tok").as("end_tok"),
+        col("__w.win_text").as("win_text"))
+  }
 }

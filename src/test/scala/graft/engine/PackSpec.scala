@@ -70,4 +70,46 @@ class PackSpec extends AnyFunSuite {
     val e = intercept[Exception](Pack.chunkAssign(bad, "id", "toks", 8L).collect())
     assert(e.getMessage != null)
   }
+
+  test("contextWindows: overlap, tail clamp, full coverage") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; tail short
+    val df = Seq((7L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Pack.contextWindows(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("win_idx")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (7L, 0, 0, 4, "t0 t1 t2 t3"),
+      (7L, 1, 3, 7, "t3 t4 t5 t6"),
+      (7L, 2, 6, 10, "t6 t7 t8 t9"),
+      (7L, 3, 9, 10, "t9")))
+    // no token dropped, consecutive windows overlap by window - stride
+    assert(got.sliding(2).forall {
+      case Seq(a, b) => b._3 == a._3 + 3 && b._3 < a._4; case _ => true
+    })
+  }
+
+  test("contextWindows: stride == window tiles without overlap; short doc = one window") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "x")).toDF("doc_id", "text")
+    val got = Pack.contextWindows(df, "doc_id", "text", window = 3, stride = 3)
+      .orderBy("doc_id", "win_idx")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 0, 3, "a b c"), (1L, 1, 3, 6, "d e f"),
+      (2L, 0, 0, 1, "x")))
+  }
+
+  test("contextWindows: rejects bad window/stride; plan is a single narrow stage") {
+    import spark.implicits._
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Pack.contextWindows(df, "doc_id", "text", 0, 1))
+    intercept[IllegalArgumentException](
+      Pack.contextWindows(df, "doc_id", "text", 4, 5))
+    val plan = Pack.contextWindows(df, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"contextWindows must not shuffle:\n$plan")
+  }
 }
