@@ -1986,6 +1986,33 @@ object SparkEntry {
           "repaired_mojibake", "repaired_clean")
         .orderBy("doc_id")
     }),
+    "q99_script_mix" -> ((s, dir) => {
+      // Unicode-script profiling + homoglyph-spam signal: each doc plants
+      // a deterministic multi-script string (latin base; cyrillic, greek,
+      // han, arabic, hangul, kana, a confusable 'pаypal' token, digits —
+      // each gated on doc_id arithmetic). The oracle rebuilds the plant
+      // and counts with RE2's independent \p{Script} implementation.
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val sb = new StringBuilder("The quick brown fox ")
+          if (id % 2 == 0) sb.append("привет мир ")
+          if (id % 3 == 0) sb.append("Ελλάδα ")
+          if (id % 5 == 0) sb.append("漢字文化 ")
+          if (id % 7 == 0) sb.append("مرحبا ")
+          if (id % 11 == 0) sb.append("한국어 ")
+          if (id % 13 == 0) sb.append("ひらがなカタカナ ")
+          if (id % 9 == 0) sb.append("привет" * 5).append(' ')
+          if (id % 4 == 0) sb.append("pаypal advert ")
+          sb.append("num ").append(id % 100)
+          val p = Script.profile(sb.toString)
+          (id, p.latin, p.cyrillic, p.greek, p.han, p.arabic, p.hangul,
+            p.kana, p.digits, p.confusableWords, p.dominant)
+        })
+        .toDF("doc_id", "latin", "cyrillic", "greek", "han", "arabic",
+          "hangul", "kana", "digits", "confusable_words", "dominant")
+        .orderBy("doc_id")
+    }),
     "q98_context_windows" -> ((s, dir) => {
       // training-window layout: overlapping 32-token windows every 24
       // tokens within each document (tail clamped, no token dropped) —
@@ -4207,5 +4234,49 @@ object SparkEntry {
         |  CAST(length(dirty) - length(clean_text) AS INT) AS removed,
         |  clean_text <> dirty AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+    // q99: rebuild the planted multi-script string and count each script
+    // with RE2's independent \p{Script} tables (DuckDB regexp_* are RE2);
+    // the JVM side counts with java.lang.Character.UnicodeScript — two
+    // independent Unicode implementations must agree on every code point.
+    // Confusable words are recomputed generically (token matches BOTH
+    // \p{Latin} and \p{Cyrillic}), not from the plant's closed form.
+    "q99_script_mix" ->
+      """WITH p AS (SELECT doc_id,
+        |  'The quick brown fox '
+        |  || CASE WHEN doc_id % 2 = 0 THEN 'привет мир ' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN 'Ελλάδα ' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN '漢字文化 ' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN 'مرحبا ' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN '한국어 ' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN 'ひらがなカタカナ ' ELSE '' END
+        |  || CASE WHEN doc_id % 9 = 0 THEN repeat('привет', 5) || ' ' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN 'pаypal advert ' ELSE '' END
+        |  || 'num ' || (doc_id % 100) AS s
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  length(regexp_replace(s, '[^\p{Latin}]', '', 'g')) AS latin,
+        |  length(regexp_replace(s, '[^\p{Cyrillic}]', '', 'g')) AS cyrillic,
+        |  length(regexp_replace(s, '[^\p{Greek}]', '', 'g')) AS greek,
+        |  length(regexp_replace(s, '[^\p{Han}]', '', 'g')) AS han,
+        |  length(regexp_replace(s, '[^\p{Arabic}]', '', 'g')) AS arabic,
+        |  length(regexp_replace(s, '[^\p{Hangul}]', '', 'g')) AS hangul,
+        |  length(regexp_replace(s, '[^\p{Hiragana}\p{Katakana}]', '', 'g')) AS kana,
+        |  length(regexp_replace(s, '[^0-9]', '', 'g')) AS digits,
+        |  len(list_filter(regexp_split_to_array(s, '\s+'),
+        |    t -> regexp_matches(t, '\p{Latin}')
+        |     AND regexp_matches(t, '\p{Cyrillic}'))) AS confusable_words
+        |  FROM p)
+        |SELECT doc_id, latin, cyrillic, greek, han, arabic, hangul, kana,
+        |  digits, CAST(confusable_words AS BIGINT) AS confusable_words,
+        |  CASE
+        |    WHEN latin+cyrillic+greek+han+arabic+hangul+kana = 0 THEN 'none'
+        |    WHEN latin >= greatest(cyrillic, greek, han, arabic, hangul, kana) THEN 'latin'
+        |    WHEN cyrillic >= greatest(greek, han, arabic, hangul, kana) THEN 'cyrillic'
+        |    WHEN greek >= greatest(han, arabic, hangul, kana) THEN 'greek'
+        |    WHEN han >= greatest(arabic, hangul, kana) THEN 'han'
+        |    WHEN arabic >= greatest(hangul, kana) THEN 'arabic'
+        |    WHEN hangul >= kana THEN 'hangul'
+        |    ELSE 'kana' END AS dominant
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }
