@@ -1986,6 +1986,34 @@ object SparkEntry {
           "repaired_mojibake", "repaired_clean")
         .orderBy("doc_id")
     }),
+    "q100_neardup_index" -> ((s, dir) => {
+      // incremental cross-snapshot near-dedup: a new crawl batch (50 exact
+      // copies of history + 50 novel docs) probed against the PERSISTED
+      // MinHash-LSH index of the historical corpus (built once per
+      // session, probe reads only the touched band/sig buckets), then
+      // exact word-3-gram verified at 0.85 — the q17 discipline: at this
+      // threshold 16x4 banding misses a true pair w.p. ~7e-6, so the
+      // oracle enumerates the exact batch x history pair set in SQL.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+        .as[(Long, String)]
+      val idx = graft.jobs.NearDupIndexJob.cachedIndexDir(
+        s"$dir/documents_hist200", s, hist, nBuckets = 16)
+      val cands = graft.jobs.NearDupIndexJob.probe(s, batch, idx)
+        .map(p => Dedup.Pair(p.a, p.b))
+      Dedup.exactJaccard(hist.union(batch), cands)
+        .filter(_.estimated_jaccard >= 0.85)
+        .toDF()
+        .select(col("a").as("batch_id"), col("b").as("hist_id"),
+          round(col("estimated_jaccard"), 6).as("jaccard"))
+        .orderBy("batch_id", "hist_id")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4234,6 +4262,31 @@ object SparkEntry {
         |  CAST(length(dirty) - length(clean_text) AS INT) AS removed,
         |  clean_text <> dirty AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+    // q100: the index probe's exactness claim (q17's banding argument)
+    // means the oracle can enumerate the TRUE exact >=0.85 pair set
+    // between the batch and the historical corpus with an all-pairs
+    // 3-gram Jaccard in SQL — identical gram machinery to q17/q19.
+    "q100_neardup_index" ->
+      """WITH h AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 200),
+        |b AS (SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id < 50
+        |      UNION ALL
+        |      SELECT doc_id + 2000000, text FROM documents
+        |      WHERE doc_id >= 300 AND doc_id < 350),
+        |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 300) t(i)),
+        |wh AS (SELECT id, string_split(text, ' ') AS ws FROM h),
+        |wb AS (SELECT id, string_split(text, ' ') AS ws FROM b),
+        |gh AS (SELECT DISTINCT id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gr
+        |       FROM wh JOIN nums ON i <= len(ws) - 2),
+        |gb AS (SELECT DISTINCT id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gr
+        |       FROM wb JOIN nums ON i <= len(ws) - 2),
+        |ch AS (SELECT id, count(*) AS n FROM gh GROUP BY 1),
+        |cb AS (SELECT id, count(*) AS n FROM gb GROUP BY 1),
+        |inter AS (SELECT gb.id AS a, gh.id AS b, count(*) AS ni
+        |          FROM gb JOIN gh ON gb.gr = gh.gr GROUP BY 1, 2),
+        |j AS (SELECT a, b, ni * 1.0 / (cb.n + ch.n - ni) AS jac
+        |      FROM inter JOIN cb ON cb.id = a JOIN ch ON ch.id = b)
+        |SELECT a AS batch_id, b AS hist_id, round(jac, 6) AS jaccard
+        |FROM j WHERE jac >= 0.85 ORDER BY 1, 2""".stripMargin,
     // q99: rebuild the planted multi-script string and count each script
     // with RE2's independent \p{Script} tables (DuckDB regexp_* are RE2);
     // the JVM side counts with java.lang.Character.UnicodeScript — two
