@@ -2014,6 +2014,18 @@ object SparkEntry {
           round(col("estimated_jaccard"), 6).as("jaccard"))
         .orderBy("batch_id", "hist_id")
     }),
+    "q101_bpe_encode" -> ((s, dir) => {
+      // BPE token-ID emission — the actual training artifact (q90 counts
+      // tokens, q101 emits them): every document's subword-id sequence
+      // under the pinned merge table and the deterministic chars+merges
+      // vocab (36 alnum base symbols at ids 0-35, merge outputs at
+      // 36+step). The oracle maps q90's proven replace-chain subwords
+      // onto ids with a SECOND generated full-token replace chain, so
+      // both the segmentation and the id assignment replay independently.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Bpe.encodeIds(docs, "doc_id", "text", Q90Merges)
+        .orderBy("doc_id")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -2223,6 +2235,27 @@ object SparkEntry {
         val rep = s"' $l$r '"
         s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
+
+  /** q101's oracle id chain: [[q90ReplaceChain]]'s subword string mapped
+    * onto the shared chars+merges vocab ([[graft.engine.Bpe.vocabIds]])
+    * with one more generated full-token replace chain — per symbol, two
+    * chained `replace(' sym ', ' id ')` passes. Every replacement keeps
+    * both boundary spaces, so only RUNS of the same token share spaces and
+    * the q90 double-pass argument applies verbatim (pass 1 consumes every
+    * other occurrence of a run, pass 2 the rest). Patterns are full-token
+    * anchored, so replacement order is irrelevant, numeric id tokens can
+    * never re-match a letter pattern, and digit symbols (ids 0-9, mapping
+    * to themselves) are skipped as identities. Generated from the same
+    * Scala vocab the engine encodes with, so the two sides cannot drift.
+    */
+  private val q101IdChain: String =
+    graft.engine.Bpe.vocabIds(Q90Merges).toSeq.sortBy(_._2)
+      .filter { case (sym, id) => sym != id.toString }
+      .foldLeft(q90ReplaceChain) { case (acc, (sym, id)) =>
+        val pat = s"' $sym '"
+        val rep = s"' $id '"
+        s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+      }
 
   /** The q48/q75 extraction-oracle HTML template: link-dense nav + footer
     * the extractor must drop, script/title excluded, content in <article>
@@ -4133,6 +4166,28 @@ object SparkEntry {
     // skipped candidates are never adjacent, so one more pass catches
     // them all (exact for merges with left != right, which all of
     // Q90Merges are — see BpeSpec's equivalence property).
+    // q101: q90's segmentation replay extended by the generated id chain
+    // (see q101IdChain) — subwords become vocab ids in SQL, aggregated in
+    // word order; the guard makes the fixed range() word cap LOUD.
+    "q101_bpe_encode" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '') AS tk FROM documents),
+         |guard AS (SELECT CASE WHEN max(len(tk)) > 3950
+         |    THEN error('q101 oracle: document exceeds the 3950-token range cap')
+         |    ELSE 0 END AS g FROM d),
+         |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+         |w AS (SELECT doc_id, i, tk[i] AS word FROM d JOIN nums ON i <= len(tk)),
+         |enc AS (SELECT doc_id, i, trim($q101IdChain) AS ids FROM w),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(len(string_split(ids, ' '))) AS BIGINT) AS n,
+         |    string_agg(ids, ' ' ORDER BY i) AS token_ids
+         |  FROM enc GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.n, 0) AS n_bpe_tokens,
+         |  coalesce(agg.token_ids, '') AS token_ids
+         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |CROSS JOIN guard WHERE guard.g = 0
+         |ORDER BY d.doc_id""".stripMargin,
     "q90_bpe_tokenize" ->
       s"""WITH d AS (SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

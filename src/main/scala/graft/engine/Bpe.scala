@@ -119,6 +119,65 @@ object Bpe {
     spark.createDataFrame(merges.result()).toDF("step", "left", "right", "pair_cnt")
   }
 
+  /** Deterministic id table for a merge list: the 36 alnum base symbols
+    * ('0'-'9' then 'a'-'z', ids 0-35 — [[Retrieval.alnumTokens]] lowercases
+    * and splits on `[^a-z0-9]+`, so no other character can reach the
+    * encoder) followed by each merge's output in training order (ids
+    * 36+step). The standard BPE vocab construction: chars + merges.
+    * Outputs must be distinct (length-1 base vs length>=2 outputs can
+    * never collide; duplicate merge outputs are refused loudly).
+    */
+  def vocabIds(merges: IndexedSeq[(String, String)]): Map[String, Int] = {
+    val base = (('0' to '9') ++ ('a' to 'z')).map(_.toString)
+    val outs = merges.map { case (l, r) => l + r }
+    require(outs.distinct.length == outs.length,
+      s"duplicate merge outputs in the merge table: $outs")
+    (base ++ outs).zipWithIndex.toMap
+  }
+
+  /** Per-document token-ID sequence under an ordered merge list — the
+    * actual training artifact (ids, not counts): `(id, n_bpe_tokens,
+    * token_ids)` with the ids space-joined into one string (exact to
+    * compare, layout-stable to store; a production sink would write the
+    * equivalent ARRAY<INT> column). Merges and vocab ship in the closure
+    * (KBs); the corpus side is one narrow kernel with the same
+    * per-partition distinct-word memo as [[tokenCounts]]. A word symbol
+    * missing from the vocab is impossible by construction (the tokenizer's
+    * alphabet IS the base vocab) and fails loudly if the invariant breaks.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: IndexedSeq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = vocabIds(merges)
+    df.select(col(idCol).cast("long"), Retrieval.alnumTokens(col(textCol)).as("w"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        it.map { case (id, ws) =>
+          val out = new StringBuilder
+          var total = 0L
+          ws.foreach { w =>
+            var ids = memo.get(w)
+            if (ids == null) {
+              ids = encodeWord(w, merges).map { s =>
+                vocab.getOrElse(s, sys.error(
+                  s"BPE symbol '$s' of word '$w' missing from the vocab"))
+              }.toArray
+              memo.put(w, ids)
+            }
+            ids.foreach { i =>
+              if (out.nonEmpty) out += ' '
+              out.append(i)
+            }
+            total += ids.length
+          }
+          (id, total, out.toString)
+        }
+      }
+      .toDF(idCol, "n_bpe_tokens", "token_ids")
+  }
+
   /** Per-document BPE token count under an ordered merge list: the
     * downstream budget every packing/pricing stage needs. Merges ship in
     * the closure (KBs); the corpus side is one narrow kernel — encode

@@ -100,4 +100,52 @@ class BpeSpec extends AnyFunSuite {
     val plan = wc.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("vocabIds: digits 0-9, letters 10-35, merge outputs at 36+step") {
+    val merges = IndexedSeq(("t", "h"), ("th", "e"))
+    val v = Bpe.vocabIds(merges)
+    assert(v("0") == 0 && v("9") == 9)
+    assert(v("a") == 10 && v("z") == 35)
+    assert(v("th") == 36 && v("the") == 37)
+    assert(v.size == 38)
+    val dup = IndexedSeq(("a", "bc"), ("ab", "c")) // both outputs 'abc'
+    intercept[IllegalArgumentException](Bpe.vocabIds(dup))
+  }
+
+  test("encodeIds: hand-checked id sequences, empty and digit-mixed docs") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val merges = IndexedSeq(("t", "h"), ("th", "e"))
+    val df = Seq(
+      (1L, "the that a3b"), // the->[37], that->[36,10,29], a3b->[10,3,11]
+      (2L, "...!!!"),       // no alnum tokens
+      (3L, "THE THE")       // case-folds; repeats exercise the memo
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeIds(df, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got(0) == ((1L, 7L, "37 36 10 29 10 3 11")))
+    assert(got(1) == ((2L, 0L, "")))
+    assert(got(2) == ((3L, 2L, "37 37")))
+  }
+
+  test("encodeIds agrees with tokenCounts and is partitioning-invariant") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val merges = IndexedSeq(("t", "h"), ("a", "n"), ("an", "d"))
+    val docs = (0L until 40L)
+      .map(i => (i, s"the band and th$i hand stand ${i % 7}"))
+    val one = Bpe.encodeIds(docs.toDF("doc_id", "text").repartition(1),
+      "doc_id", "text", merges).orderBy("doc_id").collect().toSeq
+    val many = Bpe.encodeIds(docs.toDF("doc_id", "text").repartition(13),
+      "doc_id", "text", merges).orderBy("doc_id").collect().toSeq
+    assert(one == many)
+    val counts = Bpe.tokenCounts(docs.toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(one.map(_.getLong(1)) == counts)
+    one.foreach { r =>
+      assert(r.getString(2).split(" ").length.toLong == r.getLong(1))
+    }
+  }
 }
