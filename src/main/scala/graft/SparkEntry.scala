@@ -2026,6 +2026,18 @@ object SparkEntry {
       Bpe.encodeIds(docs, "doc_id", "text", Q90Merges)
         .orderBy("doc_id")
     }),
+    "q102_training_windows" -> ((s, dir) => {
+      // the LAST MILE composed: raw text -> BPE token ids (q101's pinned
+      // vocab) -> overlapping fixed-length training windows (q98's
+      // window/stride lattice, 32 ids every 24) in ONE linear plan — the
+      // encodeIds mapPartitions and the posexplode slicer are both
+      // narrow, so the only exchange is the output sort. This is the
+      // relation a pretraining data loader actually reads.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ids = Bpe.encodeIds(docs, "doc_id", "text", Q90Merges)
+      Pack.contextWindows(ids, "doc_id", "token_ids", window = 32, stride = 24)
+        .orderBy("doc_id", "win_idx")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4166,6 +4178,37 @@ object SparkEntry {
     // skipped candidates are never adjacent, so one more pass catches
     // them all (exact for merges with left != right, which all of
     // Q90Merges are — see BpeSpec's equivalence property).
+    // q102: the composed last mile — q101's id-chain replay feeds q98's
+    // list-slice window replay. Two guards make both fixed range() caps
+    // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An
+    // id-less doc still emits one empty window: string_split('', ' ') is
+    // [''] on both engines, so n=1 and window 0 exists — engine parity.
+    "q102_training_windows" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> x <> '') AS tk FROM documents),
+         |guard AS (SELECT CASE WHEN max(len(tk)) > 3950
+         |    THEN error('q102 oracle: document exceeds the 3950-token range cap')
+         |    ELSE 0 END AS g FROM d),
+         |nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 4000) t(i)),
+         |w AS (SELECT doc_id, i, tk[i] AS word FROM d JOIN nums ON i <= len(tk)),
+         |enc AS (SELECT doc_id, i, trim($q101IdChain) AS ids FROM w),
+         |agg AS (SELECT doc_id, string_agg(ids, ' ' ORDER BY i) AS token_ids
+         |  FROM enc GROUP BY 1),
+         |t2 AS (SELECT d.doc_id,
+         |    string_split(coalesce(agg.token_ids, ''), ' ') AS ws
+         |  FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+         |guard2 AS (SELECT CASE WHEN max(len(ws)) > 4800
+         |    THEN error('q102 oracle: id sequence exceeds the 4800-id window cap')
+         |    ELSE 0 END AS g FROM t2),
+         |win AS (SELECT doc_id, CAST(j AS INT) AS win_idx,
+         |    CAST(j * 24 AS INT) AS start_tok,
+         |    CAST(least(j * 24 + 32, len(ws)) AS INT) AS end_tok,
+         |    array_to_string(ws[j*24+1 : j*24+32], ' ') AS win_text
+         |  FROM t2, range(0, 200) t(j) WHERE j * 24 < len(ws))
+         |SELECT win.* FROM win, guard, guard2
+         |WHERE guard.g = 0 AND guard2.g = 0
+         |ORDER BY doc_id, win_idx""".stripMargin,
     // q101: q90's segmentation replay extended by the generated id chain
     // (see q101IdChain) — subwords become vocab ids in SQL, aggregated in
     // word order; the guard makes the fixed range() word cap LOUD.

@@ -112,4 +112,29 @@ class PackSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"contextWindows must not shuffle:\n$plan")
   }
+
+  test("encodeIds -> contextWindows composes shuffle-free (the q102 shape)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((1L, "the cat the hat"), (2L, "a band and a hand"))
+      .toDF("doc_id", "text")
+    val ids = Bpe.encodeIds(df, "doc_id", "text",
+      IndexedSeq(("t", "h"), ("a", "n")))
+    val windows = Pack.contextWindows(ids, "doc_id", "token_ids", 4, 2)
+    val plan = windows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the composed tokenize->window pipeline must not shuffle:\n$plan")
+    // windows reassemble to the full id sequence (stride-aligned prefix)
+    val byDoc = windows.collect().groupBy(_.getLong(0))
+    byDoc.values.foreach { rows =>
+      val full = rows.sortBy(_.getInt(1)).map(_.getString(4).split(" ").take(2))
+        .flatten.toSeq
+      val tail = rows.maxBy(_.getInt(1)).getString(4).split(" ").drop(2).toSeq
+      val direct = Bpe.encodeIds(df, "doc_id", "text",
+        IndexedSeq(("t", "h"), ("a", "n")))
+        .filter(col("doc_id") === rows.head.getLong(0))
+        .collect().head.getString(2).split(" ").toSeq
+      assert(full ++ tail == direct)
+    }
+  }
 }
