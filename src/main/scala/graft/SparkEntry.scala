@@ -2038,6 +2038,15 @@ object SparkEntry {
       Pack.contextWindows(ids, "doc_id", "token_ids", window = 32, stride = 24)
         .orderBy("doc_id", "win_idx")
     }),
+    "q103_seeded_shuffle" -> ((s, dir) => {
+      // reproducible global training order: every doc keyed by the MMIX
+      // multiply-add step (bijective mod 2^64 — no ties) and totally
+      // ordered; the same seed replays the same order on any cluster, at
+      // any parallelism, across retries. The oracle reproduces the
+      // wrapped 64-bit arithmetic in HUGEINT and must agree on every key.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Pack.seededShuffle(docs, "doc_id", seed = 42L)
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4178,6 +4187,23 @@ object SparkEntry {
     // skipped candidates are never adjacent, so one more pass catches
     // them all (exact for merges with left != right, which all of
     // Q90Merges are — see BpeSpec's equivalence property).
+    // q103: the rotate-multiply shuffle key replayed in HUGEINT unsigned
+    // arithmetic — u1 = (id+seed)*A mod 2^64, rotl32 via (lo*2^32 + hi),
+    // u3 = u2*A mod 2^64 — then remapped to the two's-complement range.
+    "q103_seeded_shuffle" ->
+      """WITH c AS (SELECT 6364136223846793005::HUGEINT AS a,
+        |    18446744073709551616::HUGEINT AS m64,
+        |    4294967296::HUGEINT AS m32),
+        |s1 AS (SELECT doc_id,
+        |    ((CAST(doc_id AS HUGEINT) + 42) * a) % m64 AS u1, a, m64, m32
+        |  FROM documents, c),
+        |s2 AS (SELECT doc_id,
+        |    ((u1 % m32) * m32 + u1 // m32) AS u2, a, m64 FROM s1),
+        |s3 AS (SELECT doc_id, (u2 * a) % m64 AS u3, m64 FROM s2)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN u3 >= m64 // 2 THEN u3 - m64 ELSE u3 END AS BIGINT)
+        |    AS shuffle_key
+        |FROM s3 ORDER BY shuffle_key""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An

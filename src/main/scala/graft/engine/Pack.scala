@@ -100,6 +100,22 @@ object Pack {
     * `~n/stride` rows per document — the caller chooses the expansion
     * factor explicitly via `stride`.
     */
+  /** Deterministic seeded global shuffle — the reproducible training-data
+    * order: `shuffle_key = rotl64((id + seed)·A, 32)·A` wrapped to 64 bits
+    * (see [[graft.functions.ShuffleKey64]] for why the rotate-multiply
+    * sandwich: one multiply-add is linear in the seed and would not
+    * actually reshuffle), sorted ascending. Unlike `rand()`, the same seed
+    * always yields the same order at any parallelism and across retries —
+    * resumable data loading — and the key replays in plain SQL. Every step
+    * is a bijection mod 2^64, so keys never collide and the order is total
+    * with no tiebreak. Scale shape: ONE range exchange — the unavoidable
+    * cost of any total order; no window, no single-partition stage.
+    */
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        graft.functions.GraftFunctions.shuffle_key64(col(idCol).cast("long"), seed))
+      .orderBy("shuffle_key")
+
   def contextWindows(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"contextWindows: window must be >= 1, got $window")

@@ -72,10 +72,46 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash64"
 }
 
+/** Deterministic 64-bit shuffle key — `rotl64((id + seed) * A, 32) * A`
+  * with A = 6364136223846793005 (MMIX's odd multiplier), all arithmetic
+  * wrapping mod 2^64 ([[graft.engine.Pack.seededShuffle]]). Spark's ANSI
+  * `*`/`+` throw on long overflow by design, but the key NEEDS
+  * two's-complement wraparound (the bijection mod 2^64 is the whole
+  * mechanism), so this native expression evaluates raw Java arithmetic;
+  * codegen inlines it — no kernel call, stays inside WholeStageCodegen.
+  *
+  * Why the rotate-multiply sandwich: a single multiply-add is LINEAR in
+  * the seed — changing the seed shifts every key by the same constant and
+  * (except at the rare wrap boundary) preserves the whole order, i.e. the
+  * seed would not actually reshuffle anything. The 32-bit rotation between
+  * two multiplies is not shift-equivariant, so different seeds produce
+  * genuinely different orders, while each step (add, odd-multiply, rotate)
+  * stays a bijection mod 2^64 — keys never collide. Every step is plain
+  * `*`, `+`, `%`, `//` in the unsigned domain, so the key replays exactly
+  * in HUGEINT SQL (a xor-shift finalizer would not).
+  */
+case class ShuffleKey64(child: Expression, seed: Long) extends UnaryExpression {
+  private final val A = 6364136223846793005L
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.rotateLeft((v.asInstanceOf[Long] + seed) * A, 32) * A
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(java.lang.Long.rotateLeft(($c + ${seed}L) * ${A}L, 32) * ${A}L)")
+  override protected def withNewChildInternal(newChild: Expression): ShuffleKey64 = copy(child = newChild)
+  override def prettyName: String = "graft_shuffle_key64"
+}
+
 /** Column-level API + SQL registration for the native expressions. */
 object GraftFunctions {
   def token_count(c: Column): Column = ColumnBridge.column(TokenCount(ColumnBridge.expression(c)))
   def simhash64(c: Column): Column = ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def shuffle_key64(c: Column, seed: Long): Column =
+    ColumnBridge.column(ShuffleKey64(ColumnBridge.expression(c), seed))
 
   private[functions] def unary(name: String, exprs: Seq[Expression]): Expression = {
     if (exprs.length != 1)

@@ -113,6 +113,26 @@ class PackSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"contextWindows must not shuffle:\n$plan")
   }
 
+  test("seededShuffle: bijective keys, partition-invariant, seed-sensitive") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val one = Pack.seededShuffle(ids.repartition(1), "doc_id", 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val many = Pack.seededShuffle(ids.repartition(13), "doc_id", 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == many, "order must not depend on input partitioning")
+    assert(one.map(_._2).distinct.length == 500, "keys must be collision-free")
+    assert(one.map(_._2) == one.map(_._2).sorted, "output must be key-ordered")
+    val other = Pack.seededShuffle(ids, "doc_id", 43L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(one.map(_._1) != other, "a different seed must give a different order")
+    // exactly the one range exchange any total order needs
+    val plan = Pack.seededShuffle(ids.repartition(4), "doc_id", 42L)
+      .queryExecution.executedPlan.toString
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size >= 1, plan)
+  }
+
   test("encodeIds -> contextWindows composes shuffle-free (the q102 shape)") {
     val spark = SparkTestBase.spark
     import spark.implicits._
