@@ -2047,6 +2047,33 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       Pack.seededShuffle(docs, "doc_id", seed = 42L)
     }),
+    "q104_epoch_repeat" -> ((s, dir) => {
+      // weighted mixture UPSAMPLING: each language's weight = expected
+      // training epochs (en 1x, de 2.5x, es 0.25x, zh 3x, default 0.5x);
+      // floor(w) guaranteed copies + one more iff the shared 60-bit md5
+      // coordinate (q63's discipline) falls under frac(w)*2^60. Narrow
+      // explode — zero shuffle; every copy decision a pure function of
+      // (doc_id, salt, weight), so the oracle replays the CASE chain and
+      // lateral-unnests generate_series.
+      Sampling.epochRepeat(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 1.0, "de" -> 2.5, "es" -> 0.25, "zh" -> 3.0),
+          defaultWeight = 0.5, salt = "epochs1")
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashCoord(col("doc_id"), "epochs1").as("coord"),
+          col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+    "q105_shard_assign" -> ((s, dir) => {
+      // training-shard layout over the seeded order: global rank in
+      // q103's shuffle via the two-phase scan (no single-task window),
+      // shard = rank / 64, pos_in_shard = rank % 64 — exact balance,
+      // and reading shards in (shard, pos) order replays the epoch's
+      // shuffle order. Oracle = the q103 HUGEINT key replay + a
+      // row_number over it.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Pack.shardAssign(docs, "doc_id", seed = 42L, shardSize = 64L)
+        .orderBy("rank")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4204,6 +4231,52 @@ object SparkEntry {
         |  CAST(CASE WHEN u3 >= m64 // 2 THEN u3 - m64 ELSE u3 END AS BIGINT)
         |    AS shuffle_key
         |FROM s3 ORDER BY shuffle_key""".stripMargin,
+    // q104: the engine's copy count replayed as floor(w) + the q63-style
+    // 60-bit md5 coordinate check against frac(w)*2^60 integer literals;
+    // copies lateral-unnest via generate_series (empty when copies = 0,
+    // inclusive-range semantics, matching the engine's copies>0 filter).
+    "q104_epoch_repeat" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':epochs1'), 1, 15))::BIGINT AS coord
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, coord,
+        |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+        |      WHEN 'es' THEN 0 WHEN 'zh' THEN 3 ELSE 0 END
+        |    + CASE WHEN coord < CASE lang
+        |        WHEN 'en' THEN 0
+        |        WHEN 'de' THEN 576460752303423488
+        |        WHEN 'es' THEN 288230376151711744
+        |        WHEN 'zh' THEN 0
+        |        ELSE 576460752303423488 END
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT doc_id, lang, coord,
+        |  CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS BIGINT)
+        |    AS epoch
+        |FROM c ORDER BY doc_id, epoch""".stripMargin,
+    // q105: q103's HUGEINT key replay + row_number over the signed key
+    // (collision-free by the bijection, so the rank needs no tiebreak);
+    // shard arithmetic is integer division — the oracle deliberately uses
+    // the single-partition window the engine's two-phase scan avoids.
+    "q105_shard_assign" ->
+      """WITH c AS (SELECT 6364136223846793005::HUGEINT AS a,
+        |    18446744073709551616::HUGEINT AS m64,
+        |    4294967296::HUGEINT AS m32),
+        |s1 AS (SELECT doc_id,
+        |    ((CAST(doc_id AS HUGEINT) + 42) * a) % m64 AS u1, a, m64, m32
+        |  FROM documents, c),
+        |s2 AS (SELECT doc_id,
+        |    ((u1 % m32) * m32 + u1 // m32) AS u2, a, m64 FROM s1),
+        |s3 AS (SELECT doc_id, (u2 * a) % m64 AS u3, m64 FROM s2),
+        |k AS (SELECT doc_id,
+        |    CAST(CASE WHEN u3 >= m64 // 2 THEN u3 - m64 ELSE u3 END AS BIGINT)
+        |      AS shuffle_key FROM s3),
+        |r AS (SELECT doc_id, shuffle_key,
+        |    row_number() OVER (ORDER BY shuffle_key) - 1 AS rank FROM k)
+        |SELECT doc_id, shuffle_key, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank // 64 AS BIGINT) AS shard,
+        |  CAST(rank % 64 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY rank""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An

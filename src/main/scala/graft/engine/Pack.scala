@@ -100,22 +100,6 @@ object Pack {
     * `~n/stride` rows per document — the caller chooses the expansion
     * factor explicitly via `stride`.
     */
-  /** Deterministic seeded global shuffle — the reproducible training-data
-    * order: `shuffle_key = rotl64((id + seed)·A, 32)·A` wrapped to 64 bits
-    * (see [[graft.functions.ShuffleKey64]] for why the rotate-multiply
-    * sandwich: one multiply-add is linear in the seed and would not
-    * actually reshuffle), sorted ascending. Unlike `rand()`, the same seed
-    * always yields the same order at any parallelism and across retries —
-    * resumable data loading — and the key replays in plain SQL. Every step
-    * is a bijection mod 2^64, so keys never collide and the order is total
-    * with no tiebreak. Scale shape: ONE range exchange — the unavoidable
-    * cost of any total order; no window, no single-partition stage.
-    */
-  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
-    df.withColumn("shuffle_key",
-        graft.functions.GraftFunctions.shuffle_key64(col(idCol).cast("long"), seed))
-      .orderBy("shuffle_key")
-
   def contextWindows(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window >= 1, s"contextWindows: window must be >= 1, got $window")
@@ -138,5 +122,79 @@ object Pack {
       .select(col("doc_id"), col("win_idx").cast("int").as("win_idx"),
         col("__w.start_tok").as("start_tok"), col("__w.end_tok").as("end_tok"),
         col("__w.win_text").as("win_text"))
+  }
+
+  /** Deterministic seeded global shuffle — the reproducible training-data
+    * order: `shuffle_key = rotl64((id + seed)·A, 32)·A` wrapped to 64 bits
+    * (see [[graft.functions.ShuffleKey64]] for why the rotate-multiply
+    * sandwich: one multiply-add is linear in the seed and would not
+    * actually reshuffle), sorted ascending. Unlike `rand()`, the same seed
+    * always yields the same order at any parallelism and across retries —
+    * resumable data loading — and the key replays in plain SQL. Every step
+    * is a bijection mod 2^64, so keys never collide and the order is total
+    * with no tiebreak. Scale shape: ONE range exchange — the unavoidable
+    * cost of any total order; no window, no single-partition stage.
+    */
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key",
+        graft.functions.GraftFunctions.shuffle_key64(col(idCol).cast("long"), seed))
+      .orderBy("shuffle_key")
+
+  /** Shard layout for the seeded training order — [[seededShuffle]]'s
+    * write-side complement: every document gets its global rank in the
+    * shuffled order and the contiguous shard that rank lands in
+    * (`shard = rank / shardSize`, `pos_in_shard = rank % shardSize`), so
+    * shard files read back in (shard, pos) order replay the epoch's exact
+    * shuffle order, every shard holds exactly `shardSize` documents
+    * except the last, and a loader can address any position without
+    * scanning (resume mid-epoch = seek to rank). Hash-mod sharding can't
+    * give any of that: residue classes interleave the order away and
+    * balance only in expectation.
+    *
+    * Scale shape: the global rank is the [[chunkAssign]] two-phase scan
+    * over the shuffle key — range-repartition + in-partition sort (the
+    * ONE exchange any total order costs), per-partition COUNTS to the
+    * driver (numPartitions longs), offsets broadcast back, ranks emitted
+    * by a running local counter. The naive
+    * `row_number() OVER (ORDER BY key)` window has no PARTITION BY and
+    * would put the whole corpus in a single task.
+    *
+    * Contract: `idCol` castable to long, non-null, globally unique —
+    * uniqueness + the key bijection make every rank deterministic with
+    * no tiebreak.
+    */
+  def shardAssign(df: DataFrame, idCol: String, seed: Long,
+      shardSize: Long): DataFrame = {
+    require(shardSize >= 1, s"shardAssign: shardSize must be >= 1, got $shardSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("key",
+        graft.functions.GraftFunctions.shuffle_key64(col("id"), seed))
+      .repartitionByRange(col("key"))
+      .sortWithinPartitions("key")
+      .as[(Long, Long)]
+      .localCheckpoint(true) // pin partitioning: both passes must agree
+    val partCounts = keyed.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }
+      .collect() // numPartitions (pid, count) pairs
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partCounts.scanLeft(0L)(Math.addExact).dropRight(1)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    keyed
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var rank = bOffsets.value(pid)
+        it.map { case (id, key) =>
+          val r = rank
+          rank += 1
+          (id, key, r, r / shardSize, r % shardSize)
+        }
+      }
+      .toDF(idCol, "shuffle_key", "rank", "shard", "pos_in_shard")
   }
 }

@@ -61,6 +61,48 @@ object Sampling {
     df.filter(coord < threshold)
   }
 
+  /** Weighted epoch repetition — the UPSAMPLING half of corpus mixing
+    * ([[stratifiedSample]] is the downsampling half): each stratum's
+    * weight is the expected number of training epochs for its documents
+    * (Wikipedia 3×, books 2.5×, raw web 0.5× — the standard mixture
+    * recipe). A weight `w` emits each document `floor(w)` times plus one
+    * more iff its 60-bit md5 coordinate falls under `frac(w)·2^60` — so
+    * the realized corpus mass converges to `w·|stratum|` while every
+    * individual decision stays a pure function of (key, salt, w):
+    * deterministic under any cluster size, partitioning, or row order,
+    * and SQL-replayable. `w < 1` degenerates to stratified sampling with
+    * the SAME kept set as [[stratifiedSample]] at rate `w` (same
+    * coordinate, same threshold) — one coordinate discipline across both
+    * halves. Output: input rows with an `epoch` column (0-based copy
+    * index); weight-0 strata vanish.
+    *
+    * Scale: narrow `explode(sequence(...))` — zero shuffle; output size
+    * is the mixture's token budget, chosen explicitly by the weights.
+    * Binary-fraction weights (k/2^n) make the threshold integer-exact
+    * (the [[stratifiedSample]] discipline).
+    */
+  def epochRepeat(df: DataFrame, keyCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double, salt: String,
+      epochCol: String = "epoch"): DataFrame = {
+    require(
+      (weights.valuesIterator ++ Iterator(defaultWeight)).forall(_ >= 0.0),
+      "epochRepeat: weights must be >= 0")
+    val two60 = 1L << 60
+    def floorOf(w: Double): Long = math.floor(w).toLong
+    def fracThr(w: Double): Long = ((w - math.floor(w)) * two60.toDouble).toLong
+    def caseChain(f: Double => Long): Column =
+      weights.foldLeft(lit(f(defaultWeight))) { case (acc, (stratum, w)) =>
+        when(col(strataCol) === lit(stratum), lit(f(w))).otherwise(acc)
+      }
+    val coord = hashCoord(col(keyCol), salt)
+    val copies = caseChain(floorOf) +
+      when(coord < caseChain(fracThr), lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Keep at most `k` rows per group, the ones with the SMALLEST `orderCol`
     * (host-level caps: "at most k pages per host, earliest first").
     *

@@ -133,6 +133,30 @@ class PackSpec extends AnyFunSuite {
     assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size >= 1, plan)
   }
 
+  test("shardAssign: exact ranks, exact shard balance, replay of the shuffle order") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("doc_id")
+    val out = Pack.shardAssign(ids.repartition(7), "doc_id", 42L, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._3)
+    // ranks are a permutation of 0..n-1
+    assert(out.map(_._3).toSeq == (0L until 500L).toSeq)
+    // rank order IS key order (the seeded shuffle order)
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq)
+    assert(out.map(_._1).toSeq ==
+      Pack.seededShuffle(ids, "doc_id", 42L).collect().map(_.getLong(0)).toSeq)
+    // exact balance: 7 full shards of 64 + a final shard of 52
+    val sizes = out.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes == Seq(64, 64, 64, 64, 64, 64, 64, 52))
+    assert(out.forall { case (_, _, r, s, p) => s == r / 64 && p == r % 64 })
+    // partition-invariant
+    val again = Pack.shardAssign(ids.repartition(2), "doc_id", 42L, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    assert(again.map(_._1).toSeq == out.map(_._1).toSeq)
+    intercept[IllegalArgumentException](Pack.shardAssign(ids, "doc_id", 42L, 0L))
+  }
+
   test("encodeIds -> contextWindows composes shuffle-free (the q102 shape)") {
     val spark = SparkTestBase.spark
     import spark.implicits._

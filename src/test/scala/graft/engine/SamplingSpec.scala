@@ -190,4 +190,58 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.splitByKey(withNulls, col("key"), Seq("a" -> 1.0, "b" -> -0.0), "s"))
   }
+
+  test("epochRepeat: integer weights emit exactly w copies; weight 0 vanishes") {
+    import spark.implicits._
+    val out = Sampling.epochRepeat(corpus(90), "id", "lang",
+        Map("en" -> 2.0, "de" -> 0.0), defaultWeight = 1.0, salt = "e")
+      .select("id", "lang", "epoch").as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2)
+    assert(!byLang.contains("de"), "weight 0 must drop the stratum")
+    assert(byLang("en").groupBy(_._1).values.forall(
+      _.map(_._3).sorted.toSeq == Seq(0L, 1L)), "en docs must appear as epochs 0,1")
+    assert(byLang("fr").groupBy(_._1).values.forall(
+      _.map(_._3).toSeq == Seq(0L)), "default weight 1 = exactly one copy")
+  }
+
+  test("epochRepeat: fractional mass tracks the weight; w<1 equals stratifiedSample") {
+    import spark.implicits._
+    val df = corpus(3000)
+    val out = Sampling.epochRepeat(df, "id", "lang",
+        Map("en" -> 2.5, "de" -> 0.5), defaultWeight = 0.25, salt = "frac")
+      .select("id", "lang").as[(Long, String)].collect()
+    val n = 1000.0 // docs per stratum
+    val counts = out.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    assert(math.abs(counts("en") - 2.5) < 0.15, s"en mass ${counts("en")}")
+    assert(math.abs(counts("de") - 0.5) < 0.15, s"de mass ${counts("de")}")
+    assert(math.abs(counts("fr") - 0.25) < 0.15, s"fr mass ${counts("fr")}")
+    // the sub-1 stratum keeps EXACTLY stratifiedSample's set: one
+    // coordinate discipline across the up- and downsampling halves
+    val repeatKept = out.filter(_._2 == "de").map(_._1).sorted.toSeq
+    val sampleKept = Sampling.stratifiedSample(df.filter($"lang" === "de"),
+        "id", "lang", Map("de" -> 0.5), 0.0, "frac")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(repeatKept == sampleKept)
+  }
+
+  test("epochRepeat: deterministic across partitionings; narrow plan; bad weights rejected") {
+    import spark.implicits._
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochRepeat(df, "id", "lang", Map("en" -> 1.5),
+        defaultWeight = 0.5, salt = "d")
+        .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val a = run(corpus(400))
+    val b = run(corpus(400).repartition(3))
+    assert(a == b)
+    assert(a.nonEmpty)
+    // plan check on an unrepartitioned input (corpus() repartitions
+    // itself, which would plant its own Exchange above the operator)
+    val flat = Seq((1L, "en"), (2L, "de")).toDF("id", "lang")
+    val plan = Sampling.epochRepeat(flat, "id", "lang",
+        Map("en" -> 1.5), 0.5, "d")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException](
+      Sampling.epochRepeat(corpus(10), "id", "lang", Map("en" -> -0.5), 1.0, "d"))
+  }
 }
