@@ -2074,6 +2074,31 @@ object SparkEntry {
       Pack.shardAssign(docs, "doc_id", seed = 42L, shardSize = 64L)
         .orderBy("rank")
     }),
+    "q106_mixture_weights" -> ((s, dir) => {
+      // temperature-based mixture solve (mT5/XLM-R p ∝ mass^α): per-lang
+      // char-mass shares at α=0.5 and the epoch weights that realize a
+      // 150k-char budget — weights derived from the corpus's OWN stats,
+      // not hand-picked. share/weight rounded to 6 decimals so the
+      // pow/sum ULP surface is pinned cross-engine (the q66 discipline).
+      // One strata-sized aggregate; the corpus never shuffles full-width.
+      Sampling.temperatureWeights(t(s, dir, "documents"), "lang", "n_chars",
+          alpha = 0.5, budget = 150000L)
+        .orderBy("lang")
+    }),
+    "q107_weighted_mixture" -> ((s, dir) => {
+      // the solve→apply loop in ONE plan: q106's weights table broadcast
+      // back onto the corpus and applied with q104's copy discipline —
+      // floor(w) copies + one more iff the shared md5 coordinate falls
+      // under frac(w)·2^60 (exact given the 6-decimal w: the subtraction
+      // is exact IEEE, ·2^60 only shifts the exponent). No driver
+      // round-trip between solve and apply; the corpus side stays narrow.
+      val docs = t(s, dir, "documents")
+      val weights = Sampling.temperatureWeights(docs, "lang", "n_chars",
+        alpha = 0.5, budget = 150000L)
+      Sampling.epochRepeatWeighted(docs, "doc_id", "lang", weights, salt = "mix1")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4277,6 +4302,48 @@ object SparkEntry {
         |  CAST(rank // 64 AS BIGINT) AS shard,
         |  CAST(rank % 64 AS BIGINT) AS pos_in_shard
         |FROM r ORDER BY rank""".stripMargin,
+    // q106: the temperature solve replayed step-by-step — exact BIGINT
+    // masses, pow(mass, 0.5), the strata-sized double sum, shares and
+    // weights rounded to 6 (the 6-decimal rounding collapses the pow/sum
+    // ULP differences between JVM and DuckDB libm).
+    "q106_mixture_weights" ->
+      """WITH stats AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |    FROM documents GROUP BY lang),
+        |p AS (SELECT lang, mass, pow(CAST(mass AS DOUBLE), 0.5) AS pp
+        |    FROM stats),
+        |z AS (SELECT SUM(pp) AS z FROM p)
+        |SELECT lang, mass, round(pp / z, 6) AS share,
+        |  round(150000 * (pp / z) / mass, 6) AS weight
+        |FROM p, z ORDER BY lang""".stripMargin,
+    // q107: q106's weight replay joined back onto documents, then q104's
+    // copy discipline: floor(w) + the md5-coordinate Bernoulli trial
+    // against floor(frac(w)·2^60) — floor (== trunc for the positive
+    // product) because DuckDB's double→BIGINT CAST rounds while Spark's
+    // truncates; the product is exact given the 6-decimal w, so both
+    // engines compare the same long. Copies lateral-unnest via
+    // generate_series (empty when copies = 0).
+    "q107_weighted_mixture" ->
+      """WITH stats AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |    FROM documents GROUP BY lang),
+        |p AS (SELECT lang, mass, pow(CAST(mass AS DOUBLE), 0.5) AS pp
+        |    FROM stats),
+        |z AS (SELECT SUM(pp) AS z FROM p),
+        |w AS (SELECT lang, round(150000 * (pp / z) / mass, 6) AS weight
+        |    FROM p, z),
+        |d AS (SELECT doc_id, documents.lang, n_chars, weight,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15))::BIGINT
+        |      AS coord
+        |  FROM documents JOIN w ON documents.lang = w.lang),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |    CAST(floor(weight) AS BIGINT)
+        |      + CASE WHEN coord <
+        |          CAST(floor((weight - floor(weight)) * 1152921504606846976e0) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS BIGINT)
+        |    AS epoch
+        |FROM c ORDER BY doc_id, epoch""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An

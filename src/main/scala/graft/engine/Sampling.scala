@@ -103,6 +103,75 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Temperature-based mixture weights — the standard multilingual
+    * sampling recipe (mT5 / XLM-R: `p_l ∝ mass_l^alpha`): solves the
+    * per-stratum epoch weights that [[epochRepeat]]/[[epochRepeatWeighted]]
+    * consume from the corpus's OWN mass statistics instead of hand-picked
+    * numbers. For each stratum, `share = mass^alpha / Σ mass^alpha` and
+    * `weight = budget · share / mass` (expected epochs so the realized
+    * stratum mass converges to `budget · share`). `alpha = 1` degenerates
+    * to natural proportions (every weight = budget/totalMass); `alpha = 0`
+    * to the uniform mixture; between them low-resource strata are
+    * upsampled smoothly — the α-temperature dial.
+    *
+    * Output: one row per stratum — (strata, mass, share, weight), with
+    * `share`/`weight` rounded to 6 decimals so the floating-point surface
+    * is pinned for the SQL oracle (the sums/pow differ by ULPs across
+    * engines; rounding collapses them, the q66 discipline).
+    *
+    * Scale: one tiny aggregate (strata-cardinality rows — languages or
+    * sources, dozens) + a broadcast of the 1-row denominator; the corpus
+    * is read once for the mass sum and never shuffled full-width.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String, massCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureWeights: alpha must be in [0,1], got $alpha")
+    require(budget >= 0L, s"temperatureWeights: budget must be >= 0, got $budget")
+    val stats = df.groupBy(col(strataCol))
+      .agg(sum(col(massCol)).cast("long").as("mass"))
+      .withColumn("__p", pow(col("mass").cast("double"), lit(alpha)))
+    val denom = stats.agg(sum(col("__p")).as("__z"))
+    stats.crossJoin(broadcast(denom))
+      .withColumn("share", round(col("__p") / col("__z"), 6))
+      .withColumn("weight",
+        round(lit(budget.toDouble) * (col("__p") / col("__z")) / col("mass"), 6))
+      .select(col(strataCol), col("mass"), col("share"), col("weight"))
+  }
+
+  /** [[epochRepeat]] with the weights coming from a TABLE (the
+    * [[temperatureWeights]] output or any (strata, weight) frame) instead
+    * of a driver-side literal map — the form that scales past dozens of
+    * strata and composes the solve→apply loop in ONE plan with no
+    * driver round-trip. Semantics per row are identical to
+    * [[epochRepeat]]: `floor(w)` copies plus one more iff the row's 60-bit
+    * md5 coordinate < `frac(w)·2^60`, every decision a pure function of
+    * (key, salt, w). The threshold arithmetic is cross-engine exact GIVEN
+    * w: `w − floor(w)` is an exact IEEE subtraction and `·2^60` only
+    * shifts the exponent, so an oracle replaying `floor(frac·2^60)` sees
+    * the same long — which is why [[temperatureWeights]] pins w itself to
+    * 6 decimals. Strata absent from `weights` are DROPPED (weight 0);
+    * negative weights yield no copies.
+    *
+    * Scale: broadcast join on the strata key (the weights table is
+    * strata-sized) + the same narrow `explode(sequence)` — the corpus
+    * never shuffles.
+    */
+  def epochRepeatWeighted(df: DataFrame, keyCol: String, strataCol: String,
+      weights: DataFrame, salt: String, weightCol: String = "weight",
+      epochCol: String = "epoch"): DataFrame = {
+    val w = col(weightCol)
+    val coord = hashCoord(col(keyCol), salt)
+    val thr = ((w - floor(w).cast("double")) * lit((1L << 60).toDouble))
+      .cast("long")
+    df.join(broadcast(weights.select(col(strataCol), w)), Seq(strataCol))
+      .withColumn("__copies",
+        floor(w) + when(coord < thr, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies", weightCol)
+  }
+
   /** Keep at most `k` rows per group, the ones with the SMALLEST `orderCol`
     * (host-level caps: "at most k pages per host, earliest first").
     *

@@ -244,4 +244,55 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.epochRepeat(corpus(10), "id", "lang", Map("en" -> -0.5), 1.0, "d"))
   }
+
+  test("temperatureWeights: alpha=1 natural, alpha=0 uniform, budget realized, guards") {
+    import spark.implicits._
+    val df = Seq((1L, "en", 900L), (2L, "en", 100L), (3L, "de", 400L),
+      (4L, "fr", 100L)).toDF("id", "lang", "m")
+    // alpha = 1 degenerates: every stratum's weight = budget / totalMass
+    val w1 = Sampling.temperatureWeights(df, "lang", "m", 1.0, 3000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(w1.map(x => (x._1, x._2)).toSeq ==
+      Seq(("de", 400L), ("en", 1000L), ("fr", 100L)))
+    assert(w1.forall(x => math.abs(x._4 - 2.0) < 1e-6), w1.mkString(","))
+    // alpha = 0: uniform shares
+    val w0 = Sampling.temperatureWeights(df, "lang", "m", 0.0, 3000L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(w0.values.forall(v => math.abs(v - 1.0 / 3) < 1e-6))
+    // alpha = 0.5: expected realized mass sums to the budget, and the
+    // low-resource stratum is upsampled harder than the high-resource one
+    val w5 = Sampling.temperatureWeights(df, "lang", "m", 0.5, 3000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(math.abs(w5.map(x => x._3 * x._2).sum - 3000.0) < 1.0)
+    val wm = w5.map(x => (x._1, x._3)).toMap
+    assert(wm("fr") > wm("en"))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(df, "lang", "m", 1.5, 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureWeights(df, "lang", "m", 0.5, -1L))
+  }
+
+  test("epochRepeatWeighted == epochRepeat on the same weights; missing strata drop; broadcast plan") {
+    import spark.implicits._
+    val df = corpus(600)
+    val weights = Seq(("en", 2.25), ("de", 0.5)).toDF("lang", "weight")
+    val viaTable = Sampling.epochRepeatWeighted(df, "id", "lang", weights, "wsalt")
+      .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val viaMap = Sampling.epochRepeat(df, "id", "lang",
+        Map("en" -> 2.25, "de" -> 0.5), defaultWeight = 0.0, salt = "wsalt")
+      .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaTable == viaMap)
+    assert(viaTable.nonEmpty)
+    // strata absent from the weights table vanish (weight 0)
+    val langs = Sampling.epochRepeatWeighted(df, "id", "lang", weights, "wsalt")
+      .select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("en", "de"))
+    // the weights join is broadcast — the corpus side never shuffles
+    val plan = Sampling.epochRepeatWeighted(
+        Seq((1L, "en")).toDF("id", "lang"), "id", "lang", weights, "wsalt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
