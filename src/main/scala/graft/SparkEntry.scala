@@ -2099,6 +2099,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("epoch"))
         .orderBy("doc_id", "epoch")
     }),
+    "q108_nb_classifier" -> ((s, dir) => {
+      // hashed Naive Bayes (the fastText-class curation scorer): fit on
+      // the lang labels (one capped-key aggregation — ≤ buckets×classes
+      // rows shuffle regardless of corpus size), score in one narrow
+      // broadcast-model pass. Every weight is a micro-nat BIGINT
+      // (floor(ln·1e6 + .5)), so scores are exact integer sums and the
+      // argmax has no float surface — the oracle replays fit AND score.
+      // The synthetic table draws one shared vocabulary for every lang,
+      // so accuracy here sits at the prior-informed ceiling (~0.44) BY
+      // CONSTRUCTION of the data; discriminative power is witnessed in
+      // NaiveBayesSpec on a separable corpus (accuracy 1.0). The contract
+      // gate is the exact fit+score replay, not the accuracy.
+      val docs = t(s, dir, "documents")
+      val model = engine.NaiveBayes.fit(docs, "text", "lang", buckets = 4096)
+      engine.NaiveBayes.score(docs, "text", model)
+        .select(col("doc_id"), col("lang"), col("pred"), col("score"),
+          when(col("pred") === col("lang"), 1).otherwise(0)
+            .cast("int").as("correct"))
+        .orderBy("doc_id")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4344,6 +4364,48 @@ object SparkEntry {
         |  CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS BIGINT)
         |    AS epoch
         |FROM c ORDER BY doc_id, epoch""".stripMargin,
+    // q108: the whole classifier — hashed counts, micro-nat weights,
+    // integer score sums, argmax — replayed in SQL. Weights round as
+    // floor(ln·1e6 + 0.5) (half-up in both engines; DuckDB's round()
+    // ties-away would differ on negatives). Unseen (bucket, class) pairs
+    // take the smoothed default via the LEFT JOIN's COALESCE on c=0.
+    // Docs with no tokens score on priors alone (the documents CROSS JOIN
+    // pri base). Ties break to the smallest class name — the engine's
+    // sorted-index argmax.
+    "q108_nb_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |tb AS (SELECT doc_id,
+        |    ('0x' || substring(md5(t), 1, 15))::BIGINT % 4096 AS b FROM toks),
+        |cnt AS (SELECT d.lang AS cls, tb.b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tb JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |tot AS (SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        |nd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |ndt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |pri AS (SELECT nd.cls,
+        |    CAST(floor(ln(CAST(nd.n AS DOUBLE) / ndt.n) * 1000000 + 0.5) AS BIGINT)
+        |      AS p
+        |  FROM nd, ndt),
+        |sc AS (SELECT tb.doc_id, tot.cls,
+        |    SUM(CAST(floor(ln((COALESCE(cnt.c, 0) + 1.0) / (tot.t + 4096))
+        |          * 1000000 + 0.5) AS BIGINT)) AS s
+        |  FROM tb CROSS JOIN tot
+        |  LEFT JOIN cnt ON cnt.b = tb.b AND cnt.cls = tot.cls
+        |  GROUP BY 1, 2),
+        |fin AS (SELECT d.doc_id, d.lang, pri.cls,
+        |    pri.p + COALESCE(sc.s, 0) AS score
+        |  FROM documents d CROSS JOIN pri
+        |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.cls = pri.cls),
+        |win AS (SELECT doc_id, lang, cls AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, cls ASC) AS rn
+        |  FROM fin)
+        |SELECT doc_id, lang, pred, score,
+        |  CAST(CASE WHEN pred = lang THEN 1 ELSE 0 END AS INTEGER) AS correct
+        |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An
