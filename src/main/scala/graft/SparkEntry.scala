@@ -2119,6 +2119,35 @@ object SparkEntry {
             .cast("int").as("correct"))
         .orderBy("doc_id")
     }),
+    "q109_cluster_split" -> ((s, dir) => {
+      // Near-dup-AWARE splits — the leakage class q72's domain split
+      // cannot close: q61's transitive pair lattice resolves to
+      // components, and every document hashes on its component KEEPER,
+      // so two near-duplicates can never straddle train/test (the
+      // GPT-3/Pile contamination lesson). Singletons (absent from the
+      // assignment) hash on themselves — plain splitByKey. Same split
+      // weights as q72; the oracle replays components (recursive CTE)
+      // + the md5 boundary chain with the engine's exact thresholds.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id").cast("long").as("i"))
+      val chain = ids
+        .filter(col("i") % 7 < (expr("i DIV 7") % 6) + 1)
+        .select(col("i").as("a"), (col("i") + 1).as("b"))
+      val cross = ids
+        .filter(col("i") % 7 === 2 && expr("i DIV 7") % 11 === 0)
+        .select(col("i").as("a"), (expr("i DIV 7") * 7 + 21).as("b"))
+      val present = ids.select(col("i").as("b"))
+      val pairs = chain.union(cross).join(present, Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .as[(Long, Long)].map { case (a, b) => Dedup.Pair(a, b) }
+      val assignment = Dedup.resolveClusters(pairs)
+      Sampling.splitByCluster(docs.select(col("doc_id")), "doc_id",
+          assignment, Q72Splits, salt = "cls1", keeperOut = "keeper_id",
+          broadcastAssignment = true)
+        .select(col("doc_id"), col("keeper_id"), col("split"))
+        .orderBy("doc_id")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4406,6 +4435,40 @@ object SparkEntry {
         |SELECT doc_id, lang, pred, score,
         |  CAST(CASE WHEN pred = lang THEN 1 ELSE 0 END AS INTEGER) AS correct
         |FROM win WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q109: q61's recursive-CTE component replay feeds the q72-style md5
+    // boundary chain — the coordinate key is the component KEEPER
+    // (coalesced to the doc itself outside the graph), with the engine's
+    // own exact 60-bit thresholds interpolated.
+    "q109_cluster_split" -> {
+      val ts = Sampling.cumThresholds(Q72Splits)
+      s"""WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+        |e0 AS (
+        |  SELECT i AS a, i + 1 AS b FROM ids
+        |  WHERE (i % 7) < ((i // 7) % 6) + 1
+        |    AND EXISTS (SELECT 1 FROM ids x WHERE x.i = ids.i + 1)
+        |  UNION ALL
+        |  SELECT i AS a, (i // 7) * 7 + 21 AS b FROM ids
+        |  WHERE i % 7 = 2 AND (i // 7) % 11 = 0
+        |    AND EXISTS (SELECT 1 FROM ids x WHERE x.i = (ids.i // 7) * 7 + 21)),
+        |edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |r(id, k) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.a, r.k FROM edges e JOIN r ON e.b = r.id),
+        |comp AS (SELECT id, min(k) AS keeper_id FROM r GROUP BY id),
+        |full0 AS (SELECT d.doc_id, COALESCE(c.keeper_id, d.doc_id) AS keeper_id
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |lab AS (SELECT doc_id, keeper_id,
+        |    ('0x' || substring(md5(CAST(keeper_id AS VARCHAR) || ':cls1'), 1, 15))::BIGINT
+        |      AS h
+        |  FROM full0)
+        |SELECT doc_id, keeper_id,
+        |  CASE WHEN h < ${ts(0)} THEN 'train'
+        |       WHEN h < ${ts(1)} THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin
+    },
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An

@@ -273,6 +273,45 @@ object Sampling {
     df.withColumn(outCol, label)
   }
 
+  /** Near-duplicate-aware train/valid/test split — the leakage class
+    * [[splitByKey]] alone cannot close: hashing DOCUMENT keys puts two
+    * near-duplicates of the same page on both sides of a train/test
+    * boundary (the GPT-3/Pile contamination lesson), so the split key must
+    * be the near-dup CLUSTER, not the doc. `assignment` is the
+    * (id, keeper_id) table from `Dedup.resolveClusters` over the verified
+    * pair graph; every row hashes on `coalesce(keeper_id, id)` — all
+    * members of a component share a keeper and therefore a split, and
+    * docs outside the pair graph (singletons, absent from `assignment`)
+    * hash on themselves, which for a singleton is exactly [[splitByKey]].
+    * The coordinate discipline is splitByKey's own (same salt → same
+    * boundaries), so the two are interchangeable downstream.
+    *
+    * Scale shape: ONE keyed join of the corpus against the assignment
+    * (which covers only pair-graph members, typically a small fraction of
+    * the corpus) + the narrow split expression. With
+    * `broadcastAssignment=true` the join becomes a broadcast hash join
+    * and the corpus never shuffles — set it when the dup-graph node set
+    * fits executor memory (the `dedupLines.broadcastFirsts` discipline);
+    * the default keyed join scales to arbitrary graph sizes.
+    *
+    * Contract: `assignment.id` unique (resolveClusters' groupBy output);
+    * `idCol` castable to long, non-null.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, assignment: DataFrame,
+      splits: Seq[(String, Double)], salt: String, outCol: String = "split",
+      keeperOut: String = "", broadcastAssignment: Boolean = false): DataFrame = {
+    val a0 = assignment.select(col("id").cast("long").as("__sc_id"),
+      col("keeper_id").cast("long").as("__sc_keeper"))
+    val a = if (broadcastAssignment) broadcast(a0) else a0
+    val joined = df
+      .join(a, col(idCol).cast("long") === col("__sc_id"), "left")
+      .withColumn("__sc_k", coalesce(col("__sc_keeper"), col(idCol).cast("long")))
+    val split = splitByKey(joined, col("__sc_k"), splits, salt, outCol)
+    val out = if (keeperOut.nonEmpty) split.withColumn(keeperOut, col("__sc_k"))
+      else split
+    out.drop("__sc_id", "__sc_keeper", "__sc_k")
+  }
+
   /** Cumulative 60-bit thresholds for `splitByKey`'s weight vector —
     * exposed so an external replay (SQL oracle, audit notebook) can pin
     * the EXACT integer boundaries the engine used rather than re-deriving

@@ -295,4 +295,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("splitByCluster: cluster members share a split; singletons equal splitByKey") {
+    import spark.implicits._
+    val df = (0L until 300L).toDF("id")
+    // components {0,1,2} (transitive: 0-1, 1-2, no direct 0-2) and {10,11}
+    val pairs = Seq(Dedup.Pair(0L, 1L), Dedup.Pair(1L, 2L),
+      Dedup.Pair(10L, 11L)).toDS()
+    val assignment = Dedup.resolveClusters(pairs)
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByCluster(df, "id", assignment, splits, "cs",
+        keeperOut = "keeper", broadcastAssignment = true)
+      .select("id", "keeper", "split").as[(Long, Long, String)].collect()
+    assert(out.length == 300)
+    val sp = out.map(r => (r._1, r._3)).toMap
+    assert(sp(0L) == sp(1L) && sp(1L) == sp(2L),
+      "transitive chain must land in ONE split")
+    assert(sp(10L) == sp(11L))
+    val k = out.map(r => (r._1, r._2)).toMap
+    assert(k(2L) == 0L && k(11L) == 10L && k(50L) == 50L)
+    // every cluster is split-pure
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+    // singletons behave exactly like splitByKey on their own id
+    val plain = Sampling.splitByKey(df, col("id"), splits, "cs")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    out.filter(_._1 > 11L).foreach(r => assert(r._3 == plain(r._1)))
+    // mostly-singleton corpus: train fraction tracks the weight
+    val frac = out.count(_._3 == "train").toDouble / out.length
+    assert(math.abs(frac - 0.8) < 0.1, s"train fraction $frac")
+    // broadcast form: the corpus-assignment join is a BHJ, never an SMJ
+    val plan = Sampling.splitByCluster(df, "id", assignment, splits, "cs",
+        broadcastAssignment = true).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
