@@ -2148,6 +2148,32 @@ object SparkEntry {
         .select(col("doc_id"), col("keeper_id"), col("split"))
         .orderBy("doc_id")
     }),
+    "q110_training_layout" -> ((s, dir) => {
+      // the COMPOSED training-layout last mile — corpus → temperature
+      // mixture solve (q106) → weighted epoch copies (q107) → packed
+      // (doc, epoch) uid → seeded global shuffle (q103) → shard layout
+      // (q105) — in ONE plan. The only corpus-side exchange in the whole
+      // pipeline is the range exchange any total order costs: the solve
+      // is a strata-sized aggregate, the apply a broadcast join + narrow
+      // explode, the rank the two-phase scan. uid = doc_id·8 + epoch
+      // (loud raise_error bound — weights here cap epochs at 2, and the
+      // mixture contract is "single-digit epochs", Muennighoff-style).
+      val docs = t(s, dir, "documents")
+      val weights = Sampling.temperatureWeights(docs, "lang", "n_chars",
+        alpha = 0.5, budget = 150000L)
+      val epochs = Sampling.epochRepeatWeighted(
+        docs.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        weights, salt = "mix1")
+      val uids = epochs.select(
+        when(col("epoch") < lit(8L), col("doc_id") * 8 + col("epoch"))
+          .otherwise(raise_error(lit(
+            "q110: epoch exceeds the uid packing bound 8"))).as("uid"))
+      Pack.shardAssign(uids, "uid", seed = 7L, shardSize = 128L)
+        .select(expr("uid DIV 8").as("doc_id"),
+          (col("uid") % 8).as("epoch"),
+          col("shuffle_key"), col("rank"), col("shard"), col("pos_in_shard"))
+        .orderBy("rank")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4469,6 +4495,49 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin
     },
+    // q110: q107's copy chain feeds q103's HUGEINT key replay (seed 7, on
+    // the packed uid = doc_id·8 + epoch) and q105's row_number window —
+    // the full solve→epochs→shuffle→shards composition replayed end to
+    // end in SQL.
+    "q110_training_layout" ->
+      """WITH stats AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |    FROM documents GROUP BY lang),
+        |p AS (SELECT lang, mass, pow(CAST(mass AS DOUBLE), 0.5) AS pp
+        |    FROM stats),
+        |z AS (SELECT SUM(pp) AS z FROM p),
+        |w AS (SELECT lang, round(150000 * (pp / z) / mass, 6) AS weight
+        |    FROM p, z),
+        |d AS (SELECT doc_id, documents.lang, weight,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15))::BIGINT
+        |      AS coord
+        |  FROM documents JOIN w ON documents.lang = w.lang),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(weight) AS BIGINT)
+        |      + CASE WHEN coord <
+        |          CAST(floor((weight - floor(weight)) * 1152921504606846976e0) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS copies
+        |  FROM d),
+        |u AS (SELECT doc_id * 8
+        |    + CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS BIGINT)
+        |    AS uid FROM c),
+        |k0 AS (SELECT 6364136223846793005::HUGEINT AS a,
+        |    18446744073709551616::HUGEINT AS m64,
+        |    4294967296::HUGEINT AS m32),
+        |s1 AS (SELECT uid, ((CAST(uid AS HUGEINT) + 7) * a) % m64 AS u1,
+        |    a, m64, m32 FROM u, k0),
+        |s2 AS (SELECT uid, ((u1 % m32) * m32 + u1 // m32) AS u2, a, m64 FROM s1),
+        |s3 AS (SELECT uid, (u2 * a) % m64 AS u3, m64 FROM s2),
+        |k AS (SELECT uid,
+        |    CAST(CASE WHEN u3 >= m64 // 2 THEN u3 - m64 ELSE u3 END AS BIGINT)
+        |      AS shuffle_key FROM s3),
+        |r AS (SELECT uid, shuffle_key,
+        |    row_number() OVER (ORDER BY shuffle_key) - 1 AS rank FROM k)
+        |SELECT CAST(uid // 8 AS BIGINT) AS doc_id,
+        |  CAST(uid % 8 AS BIGINT) AS epoch, shuffle_key,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank // 128 AS BIGINT) AS shard,
+        |  CAST(rank % 128 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY rank""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An
