@@ -2174,6 +2174,39 @@ object SparkEntry {
           col("shuffle_key"), col("rank"), col("shard"), col("pos_in_shard"))
         .orderBy("rank")
     }),
+    "q111_corpus_profile" -> ((s, dir) => {
+      // the corpus report card: per-(lang, source), per-lang, and overall
+      // doc/char/bound statistics from ONE ROLLUP aggregate — one
+      // exchange for all three grouping levels, where three separate
+      // groupBys would read the corpus three times. grouping() flags
+      // disambiguate rollup subtotal rows from genuine NULL dimension
+      // values (web metadata is full of real nulls).
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(grouping(col("lang")).cast("int").as("g_lang"),
+          grouping(col("source")).cast("int").as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+    }),
+    "q112_shard_store" -> ((s, dir) => {
+      // persisted shard store: q105's layout written ONCE shard-partitioned
+      // (per-sf memoized, the q47 index discipline), then epoch shards
+      // 1 and 3 read back through planning-time PartitionFilters
+      // (ShardStoreJobSpec asserts the pruned scan) in (shard, pos) order
+      // — a loader resumes mid-epoch by opening rank/64 and seeking
+      // rank%64, never scanning the preceding corpus. Oracle = the q105
+      // rank replay filtered to the same shards.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val storeDir = graft.jobs.ShardStoreJob.cachedStoreDir(s"$dir/documents",
+        Pack.shardAssign(docs, "doc_id", seed = 42L, shardSize = 64L))
+      graft.jobs.ShardStoreJob.readShards(s, storeDir, Seq(1L, 3L))
+        .select(col("doc_id"), col("shuffle_key"), col("rank"),
+          col("shard"), col("pos_in_shard"))
+        .orderBy("rank")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4538,6 +4571,40 @@ object SparkEntry {
         |  CAST(rank // 128 AS BIGINT) AS shard,
         |  CAST(rank % 128 AS BIGINT) AS pos_in_shard
         |FROM r ORDER BY rank""".stripMargin,
+    // q111: the same ROLLUP in DuckDB; GROUPING() flags cast to INTEGER
+    // on both sides (Spark's grouping() is a byte, DuckDB's a BIGINT).
+    "q111_corpus_profile" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+        |  CAST(GROUPING(source) AS INTEGER) AS g_source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |GROUP BY ROLLUP (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    // q112: q105's rank replay filtered to the stored shards read back in
+    // the query — the store is path infrastructure, the CONTENT is pinned
+    // by the same HUGEINT key chain.
+    "q112_shard_store" ->
+      """WITH c AS (SELECT 6364136223846793005::HUGEINT AS a,
+        |    18446744073709551616::HUGEINT AS m64,
+        |    4294967296::HUGEINT AS m32),
+        |s1 AS (SELECT doc_id,
+        |    ((CAST(doc_id AS HUGEINT) + 42) * a) % m64 AS u1, a, m64, m32
+        |  FROM documents, c),
+        |s2 AS (SELECT doc_id,
+        |    ((u1 % m32) * m32 + u1 // m32) AS u2, a, m64 FROM s1),
+        |s3 AS (SELECT doc_id, (u2 * a) % m64 AS u3, m64 FROM s2),
+        |k AS (SELECT doc_id,
+        |    CAST(CASE WHEN u3 >= m64 // 2 THEN u3 - m64 ELSE u3 END AS BIGINT)
+        |      AS shuffle_key FROM s3),
+        |r AS (SELECT doc_id, shuffle_key,
+        |    row_number() OVER (ORDER BY shuffle_key) - 1 AS rank FROM k)
+        |SELECT doc_id, shuffle_key, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank // 64 AS BIGINT) AS shard,
+        |  CAST(rank % 64 AS BIGINT) AS pos_in_shard
+        |FROM r WHERE rank // 64 IN (1, 3) ORDER BY rank""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An
