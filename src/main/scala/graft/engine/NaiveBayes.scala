@@ -80,6 +80,9 @@ object NaiveBayes {
     val docCounts = clean
       .groupBy(col(labelCol).cast("string").as("cls")).count().collect()
     require(docCounts.nonEmpty, "NaiveBayes.fit: no labeled rows")
+    require(docCounts.length <= 4096,
+      s"NaiveBayes.fit: ${docCounts.length} distinct labels — the driver-side " +
+        "model is buckets x classes; a label column this wide is a key, not a class")
     val classes = docCounts.map(_.getString(0)).sorted
     val clsIdx = classes.zipWithIndex.toMap
     val nDocs = docCounts.map(_.getLong(1)).sum

@@ -130,12 +130,19 @@ object Sampling {
     require(budget >= 0L, s"temperatureWeights: budget must be >= 0, got $budget")
     val stats = df.groupBy(col(strataCol))
       .agg(sum(col(massCol)).cast("long").as("mass"))
-      .withColumn("__p", pow(col("mass").cast("double"), lit(alpha)))
+      // a zero-mass stratum contributes nothing and must not divide the
+      // budget (at alpha=0, pow(0,0)=1 would hand it a uniform share and
+      // an INFINITE weight); it pins to share 0 / weight 0 explicitly
+      .withColumn("__p",
+        when(col("mass") > 0, pow(col("mass").cast("double"), lit(alpha)))
+          .otherwise(lit(0.0)))
     val denom = stats.agg(sum(col("__p")).as("__z"))
     stats.crossJoin(broadcast(denom))
       .withColumn("share", round(col("__p") / col("__z"), 6))
       .withColumn("weight",
-        round(lit(budget.toDouble) * (col("__p") / col("__z")) / col("mass"), 6))
+        when(col("mass") > 0,
+          round(lit(budget.toDouble) * (col("__p") / col("__z")) / col("mass"), 6))
+          .otherwise(lit(0.0)))
       .select(col(strataCol), col("mass"), col("share"), col("weight"))
   }
 

@@ -80,5 +80,9 @@ class NaiveBayesSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     intercept[IllegalArgumentException](NaiveBayes.fit(corpus, "text", "lang", buckets = 1))
+    // a key-like label column fails loud before the driver model allocates
+    intercept[IllegalArgumentException](NaiveBayes.fit(
+      (0 until 4097).map(i => (i.toLong, "x", s"c$i")).toDF("id", "text", "lang"),
+      "text", "lang"))
   }
 }

@@ -271,6 +271,13 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.temperatureWeights(df, "lang", "m", 1.5, 10L))
     intercept[IllegalArgumentException](
       Sampling.temperatureWeights(df, "lang", "m", 0.5, -1L))
+    // a zero-mass stratum pins to share 0 / weight 0 — even at alpha=0,
+    // where pow(0,0)=1 would otherwise hand it budget/0 = Infinity
+    val withZero = df.union(Seq((9L, "zz", 0L)).toDF("id", "lang", "m"))
+    val wz = Sampling.temperatureWeights(withZero, "lang", "m", 0.0, 3000L)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(wz("zz") == ((0.0, 0.0)))
+    assert(wz("en")._1 > 0 && !wz("en")._2.isInfinite)
   }
 
   test("epochRepeatWeighted == epochRepeat on the same weights; missing strata drop; broadcast plan") {
