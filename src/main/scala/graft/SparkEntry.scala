@@ -2207,6 +2207,20 @@ object SparkEntry {
           col("shard"), col("pos_in_shard"))
         .orderBy("rank")
     }),
+    "q113_weighted_sample" -> ((s, dir) => {
+      // quality-weighted fixed-budget curation: keep EXACTLY 25 docs per
+      // language with selection probability proportional to n_chars (the
+      // stand-in quality mass), without replacement — the Efraimidis-
+      // Spirakis exponential race over the md5 coordinate. The corpus
+      // never shuffles: a per-partition run-length prune feeds the global
+      // rank, and the 25·|langs| winner keys broadcast into a left-semi
+      // join. The oracle replays coordinate → u → micro-arrival →
+      // (arrival, key) window rank identically.
+      Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", col("n_chars"), k = 25, salt = "ws1")
+        .orderBy("doc_id")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4605,6 +4619,23 @@ object SparkEntry {
         |  CAST(rank // 64 AS BIGINT) AS shard,
         |  CAST(rank % 64 AS BIGINT) AS pos_in_shard
         |FROM r WHERE rank // 64 IN (1, 3) ORDER BY rank""".stripMargin,
+    // q113: the A-ES race replayed — the 60-bit coordinate, u in (0,1],
+    // micro-arrival floor(-ln(u)/w·1e6 + .5) half-up (ln agreement at the
+    // 1e-6 grain is the q108 micro-nat discipline), window rank per lang
+    // with the key-string tiebreak.
+    "q113_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ws1'), 1, 15))::BIGINT
+        |      AS coord
+        |  FROM documents),
+        |a AS (SELECT doc_id, lang, n_chars,
+        |    CAST(floor(-ln(CAST(coord + 1 AS DOUBLE) / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS arrival
+        |  FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY arrival, CAST(doc_id AS VARCHAR)) AS rn FROM a)
+        |SELECT doc_id, lang, n_chars, arrival FROM r WHERE rn <= 25
+        |ORDER BY doc_id""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An

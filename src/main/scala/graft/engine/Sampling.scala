@@ -329,4 +329,80 @@ object Sampling {
     splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => if (c >= 1.0) two60 else (c * two60.toDouble).toLong)
   }
+
+  /** Weighted sampling WITHOUT replacement, exactly k per stratum —
+    * Efraimidis–Spirakis via the exponential race: each doc draws
+    * `u ∈ (0, 1]` from its md5 coordinate and enters the race at arrival
+    * time `-ln(u) / w`; the k earliest arrivals per stratum win, which
+    * selects without replacement with probability proportional to `w`
+    * (the fixed-budget complement of [[stratifiedSample]]'s rate form:
+    * "the best k docs per language, quality-weighted" — a heavier doc
+    * divides its exponential clock and tends to arrive earlier).
+    *
+    * Determinism / replay contract: `u = (coord+1) / 2^60` (never 0) and
+    * the arrival is quantized to an integer MICRO-arrival
+    * `floor(-ln(u)/w · 1e6 + 0.5)` (half-up — the NaiveBayes micro-nat
+    * discipline) with ties broken on the key's string form, so the
+    * winner set is a pure function of (key, stratum, w, salt): invariant
+    * under partitioning/cluster size and SQL-replayable (ln agreement at
+    * the 1e-6 grain leaves ~1e-10/doc of boundary exposure vs the
+    * ~1e-7/doc a nano-grain key would carry). Quantization ties are
+    * FINE — the tiebreak is deterministic in both engines.
+    *
+    * Scale shape (the [[capPerGroup]] two-phase discipline): a narrow
+    * per-partition run-length prune first cuts each partition to ≤ k rows
+    * per stratum (so the global rank never sees more than
+    * k·numPartitions·|strata| rows — a hot stratum cannot serialize one
+    * reducer's sort), then the winner KEYS (≤ k·|strata| rows) broadcast
+    * into a left-semi join: the corpus itself never shuffles.
+    *
+    * Contract: `keyCol` is the corpus's unique id; weights ≥ 1e-6 (null,
+    * non-positive, or sub-1e-6 weights `raise_error` loudly — a curation
+    * weight that small is a dropped doc, and silently losing it from the
+    * race would corrupt the budget; filter such rows out FIRST if that is
+    * the intent). Null strata drop (capPerGroup's convention).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
+      weight: Column, k: Int, salt: String,
+      arrivalCol: String = "arrival"): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weight.cast("double")
+    val wOk = when(w.isNotNull && w >= 1e-6, w)
+      .otherwise(raise_error(lit(
+        "weightedSample: weight must be >= 1e-6 and non-null (filter " +
+          "dropped docs out before sampling)")))
+    val u = (hashCoord(col(keyCol), salt) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    val keyed = df.withColumn(arrivalCol,
+      floor(-log(u) / wOk * lit(1e6) + lit(0.5)).cast("long"))
+    val g = "__ws_g"
+    val o = "__ws_o"
+    val kk = "__ws_k"
+    val pruned = keyed
+      .select(col(strataCol).cast("string").as(g), col(arrivalCol).as(o),
+        col(keyCol).cast("string").as(kk))
+      .filter(col(g).isNotNull)
+      .as[(String, Long, String)]
+      .sortWithinPartitions(col(g), col(o), col(kk))
+      .mapPartitions { it =>
+        // rows arrive grouped by g, ascending (o, kk): run-length top-k
+        var cur: String = null
+        var n = 0
+        it.filter { case (grp, _, _) =>
+          if (grp != cur) { cur = grp; n = 0 }
+          n += 1
+          n <= k
+        }
+      }
+      .toDF(g, o, kk)
+    val winners = pruned
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col(g)).orderBy(col(o), col(kk))))
+      .filter(col("__rn") <= k)
+      .select(col(kk))
+    keyed.join(broadcast(winners),
+      keyed(keyCol).cast("string") === winners(kk), "left_semi")
+  }
 }

@@ -336,4 +336,63 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("weightedSample == independent A-ES replay; partition-invariant; heavy doc wins") {
+    import spark.implicits._
+    val df = corpus(300).withColumn("w", col("id") % 7 + 1)
+    val got = Sampling.weightedSample(df, "id", "lang", col("w"), 10, "ws")
+      .select("id", "lang", "arrival").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    // independent replay of the contract formula (md5 coord -> u ->
+    // micro-arrival -> (arrival, key-string) top-k per stratum)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coordOf(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"$id:ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val want = (0 until 300).map { i =>
+      val id = i.toLong
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+      val w = (id % 7 + 1).toDouble
+      val u = (coordOf(id) + 1L).toDouble / (1L << 60).toDouble
+      val arrival = math.floor(-math.log(u) / w * 1e6 + 0.5).toLong
+      (id, lang, arrival)
+    }.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1.toString)).take(10)
+    }.sortBy(_._1)
+    assert(got == want)
+    assert(got.size == 30)
+    // partition invariance
+    val got1 = Sampling.weightedSample(df.repartition(1), "id", "lang",
+      col("w"), 10, "ws").select("id").as[Long].collect().sorted.toSeq
+    val got13 = Sampling.weightedSample(df.repartition(13), "id", "lang",
+      col("w"), 10, "ws").select("id").as[Long].collect().sorted.toSeq
+    assert(got1 == got13 && got1 == got.map(_._1))
+    // a doc whose weight dwarfs the field always wins its stratum's race
+    val heavy = df.withColumn("w",
+      when(col("id") === 42L, lit(1e9)).otherwise(lit(1.0)))
+    val hw = Sampling.weightedSample(heavy, "id", "lang", col("w"), 1, "ws")
+      .select("id").as[Long].collect()
+    assert(hw.contains(42L))
+  }
+
+  test("weightedSample: k beyond stratum size keeps all; guards; broadcast-semi plan") {
+    import spark.implicits._
+    val df = corpus(60).withColumn("w", lit(2.5))
+    val all = Sampling.weightedSample(df, "id", "lang", col("w"), 1000, "s")
+    assert(all.count() == 60)
+    // original columns survive, plus the arrival witness
+    assert(all.columns.toSeq == Seq("id", "lang", "w", "arrival"))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, "id", "lang", col("w"), 0, "s"))
+    // a sub-1e-6 weight fails LOUDLY rather than silently skewing the race
+    val bad = Sampling.weightedSample(
+      df.withColumn("w", when(col("id") === 3L, lit(1e-9)).otherwise(lit(1.0))),
+      "id", "lang", col("w"), 5, "s")
+    intercept[Exception](bad.count())
+    // winners broadcast into a left-semi join: the corpus never shuffles
+    val plan = Sampling.weightedSample(df, "id", "lang", col("w"), 5, "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
