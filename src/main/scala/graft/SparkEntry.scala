@@ -2221,6 +2221,49 @@ object SparkEntry {
         "doc_id", "lang", col("n_chars"), k = 25, salt = "ws1")
         .orderBy("doc_id")
     }),
+    "q114_scale_profile" -> ((s, dir) => {
+      // the 100-TB planning statistics: sketch cardinality (HLL++, rsd
+      // 1%) and sketch quantiles (percentile_approx) per source, each
+      // WITNESSED against the exact answer at test scale. At production
+      // scale the exact columns (countDistinct's Expand pass, the exact
+      // percentile's per-group value buffer) are dropped and only the
+      // sketches run — both partial-aggregable, ONE exchange of
+      // sketch-sized partials. Raw sketch estimates are not
+      // cross-engine-replayable (HLL register merges and the quantile
+      // summary are engine-internal), so the emitted surface is the
+      // exact statistics plus within-tolerance witness booleans: HLL at
+      // 5x its configured rsd, quantiles at max(2 chars, 2%) — both
+      // deterministic per dataset (the sketches are hash-based, not
+      // randomized).
+      // Witness geometry: percentile_approx returns an ELEMENT while the
+      // exact percentile interpolates, and at a small stratum one rank
+      // step is a sizable value jump — so the quantile witness is a band
+      // in RANK space (the element must lie between the exact quantiles
+      // at p ± 0.08), not a value tolerance. All six exact quantiles come
+      // from ONE percentile buffer (array form).
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("distinct_texts"),
+          approx_count_distinct(md5(col("text")), 0.01).as("__hll"),
+          expr("percentile(n_chars, array(0.42D, 0.5D, 0.58D, 0.82D, 0.9D, 0.98D))")
+            .as("__q"),
+          expr("percentile_approx(n_chars, 0.5D, 50000)").as("__ap50"),
+          expr("percentile_approx(n_chars, 0.9D, 50000)").as("__ap90"))
+        .withColumn("p50_chars", round(col("__q")(1), 4))
+        .withColumn("p90_chars", round(col("__q")(4), 4))
+        .withColumn("hll_ok",
+          abs(col("__hll") - col("distinct_texts")).cast("double") <=
+            col("distinct_texts").cast("double") * 0.05)
+        .withColumn("p50_ok",
+          col("__ap50").cast("double").between(col("__q")(0), col("__q")(2)))
+        .withColumn("p90_ok",
+          col("__ap90").cast("double").between(col("__q")(3), col("__q")(5)))
+        .select(col("source"), col("n_docs"), col("distinct_texts"),
+          col("p50_chars"), col("p90_chars"),
+          col("hll_ok"), col("p50_ok"), col("p90_ok"))
+        .orderBy("source")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4636,6 +4679,16 @@ object SparkEntry {
         |      ORDER BY arrival, CAST(doc_id AS VARCHAR)) AS rn FROM a)
         |SELECT doc_id, lang, n_chars, arrival FROM r WHERE rn <= 25
         |ORDER BY doc_id""".stripMargin,
+    // q114: the exact halves replay; the sketch halves reduce to witness
+    // booleans the oracle pins TRUE (sketch internals are engine-specific;
+    // their being within tolerance of the exact answer is the contract).
+    "q114_scale_profile" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An
