@@ -2264,6 +2264,38 @@ object SparkEntry {
           col("hll_ok"), col("p50_ok"), col("p90_ok"))
         .orderBy("source")
     }),
+    "q115_curated_layout" -> ((s, dir) => {
+      // the COMPLETE data recipe, raw corpus → training shards in one
+      // plan: quality-weighted budget cut (q113's A-ES race, 80 docs per
+      // lang, probability ∝ n_chars) → temperature mixture solved on the
+      // SAMPLE's own masses (q106) → weighted epoch copies (q107) →
+      // packed uid → seeded shuffle (q103, seed 11) → shard layout
+      // (q105, 64/shard). Corpus-side exchanges: the winner semi-join's
+      // broadcast build + the ONE range exchange any total order costs —
+      // the solve is strata-sized, the apply broadcast+narrow. The base
+      // table is scanned twice (mass solve + epoch rows — the q110
+      // shape); every stage decision is a pure function of
+      // (doc_id, salt/seed, weights), so the oracle replays the whole
+      // composition to hash equality.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val sampled = Sampling.weightedSample(docs, "doc_id", "lang",
+        col("n_chars"), k = 80, salt = "cur1")
+      val weights = Sampling.temperatureWeights(sampled, "lang", "n_chars",
+        alpha = 0.5, budget = 300000L)
+      val epochs = Sampling.epochRepeatWeighted(
+        sampled.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        weights, salt = "mix2")
+      val uids = epochs.select(
+        when(col("epoch") < lit(8L), col("doc_id") * 8 + col("epoch"))
+          .otherwise(raise_error(lit(
+            "q115: epoch exceeds the uid packing bound 8"))).as("uid"))
+      Pack.shardAssign(uids, "uid", seed = 11L, shardSize = 64L)
+        .select(expr("uid DIV 8").as("doc_id"),
+          (col("uid") % 8).as("epoch"),
+          col("shuffle_key"), col("rank"), col("shard"), col("pos_in_shard"))
+        .orderBy("rank")
+    }),
     "q99_script_mix" -> ((s, dir) => {
       // Unicode-script profiling + homoglyph-spam signal: each doc plants
       // a deterministic multi-script string (latin base; cyrillic, greek,
@@ -4689,6 +4721,60 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q115: the full composition — q113's A-ES winner CTE feeds q110's
+    // mixture → copies → uid → HUGEINT shuffle-key → rank → shard chain,
+    // with the mixture masses solved over the SAMPLE, not the corpus.
+    "q115_curated_layout" ->
+      """WITH dd AS (SELECT doc_id, lang, n_chars,
+        |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cur1'), 1, 15))::BIGINT
+        |      AS coord
+        |  FROM documents),
+        |aa AS (SELECT doc_id, lang, n_chars,
+        |    CAST(floor(-ln(CAST(coord + 1 AS DOUBLE) / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS arrival
+        |  FROM dd),
+        |ws AS (SELECT doc_id, lang, n_chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY arrival, CAST(doc_id AS VARCHAR)) AS rn FROM aa)
+        |  WHERE rn <= 80),
+        |stats AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |    FROM ws GROUP BY lang),
+        |p AS (SELECT lang, mass, pow(CAST(mass AS DOUBLE), 0.5) AS pp
+        |    FROM stats),
+        |z AS (SELECT SUM(pp) AS z FROM p),
+        |w AS (SELECT lang, round(300000 * (pp / z) / mass, 6) AS weight
+        |    FROM p, z),
+        |d AS (SELECT ws.doc_id, ws.lang, weight,
+        |    ('0x' || substring(md5(CAST(ws.doc_id AS VARCHAR) || ':mix2'), 1, 15))::BIGINT
+        |      AS coord
+        |  FROM ws JOIN w ON ws.lang = w.lang),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(weight) AS BIGINT)
+        |      + CASE WHEN coord <
+        |          CAST(floor((weight - floor(weight)) * 1152921504606846976e0) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS copies
+        |  FROM d),
+        |u AS (SELECT doc_id * 8
+        |    + CAST(unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS BIGINT)
+        |    AS uid FROM c WHERE copies > 0),
+        |k0 AS (SELECT 6364136223846793005::HUGEINT AS a,
+        |    18446744073709551616::HUGEINT AS m64,
+        |    4294967296::HUGEINT AS m32),
+        |s1 AS (SELECT uid, ((CAST(uid AS HUGEINT) + 11) * a) % m64 AS u1,
+        |    a, m64, m32 FROM u, k0),
+        |s2 AS (SELECT uid, ((u1 % m32) * m32 + u1 // m32) AS u2, a, m64 FROM s1),
+        |s3 AS (SELECT uid, (u2 * a) % m64 AS u3, m64 FROM s2),
+        |k AS (SELECT uid,
+        |    CAST(CASE WHEN u3 >= m64 // 2 THEN u3 - m64 ELSE u3 END AS BIGINT)
+        |      AS shuffle_key FROM s3),
+        |r AS (SELECT uid, shuffle_key,
+        |    row_number() OVER (ORDER BY shuffle_key) - 1 AS rank FROM k)
+        |SELECT CAST(uid // 8 AS BIGINT) AS doc_id,
+        |  CAST(uid % 8 AS BIGINT) AS epoch, shuffle_key,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank // 64 AS BIGINT) AS shard,
+        |  CAST(rank % 64 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY rank""".stripMargin,
     // q102: the composed last mile — q101's id-chain replay feeds q98's
     // list-slice window replay. Two guards make both fixed range() caps
     // LOUD: 3950 words in, 4800 ids out (200 windows × stride 24). An
