@@ -329,11 +329,15 @@ object SparkEntry {
     "q23_extract_sha" -> ((s, dir) => {
       // text-passthrough extraction: sha + token counts oracle-checkable
       import s.implicits._
-      val pages = t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => PageRow(id.toString, null, Array.empty[Byte], text, "") }
-      Extraction.extract(pages).toDF()
-        .select(col("url").cast("long").as("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          col("text_sha256"))
+      t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          // only (n_tokens, sha) are consumed — the hand-pruned projection
+          // of extractOne (Catalyst cannot prune through the closure)
+          val (_, nTok, sha) = Extraction.extractTextStats(
+            PageRow(id.toString, null, Array.empty[Byte], text, ""))
+          (id, nTok.toLong, sha)
+        })
+        .toDF("doc_id", "n_tokens", "text_sha256")
         .orderBy(col("doc_id"))
     }),
     "q24_extract_entities" -> ((s, dir) => {
@@ -363,8 +367,10 @@ object SparkEntry {
           // labeled date by the scorer
           val text = s"Rechnung Anzahl ${ln * 7 + 3} Betrag ${cents / 100},${"%02d".format(cents % 100)} " +
             s"am $gdate Rabatt $pct % Kontakt kunde$ok@firma.de"
-          val doc = Extraction.extractOne(PageRow(s"$ok", null, Array.empty[Byte], text, ""))
-          doc.labels.iterator.map { l =>
+          // labels are the only consumed field: extractLabelsOnly runs the
+          // identical tokenize→score→merge chain and skips the
+          // sha/simhash/langid fingerprints this query drops
+          Extraction.extractLabelsOnly(text).iterator.map { l =>
             val numeric = l.label == "number" || l.label == "amount" || l.label == "percent"
             (ok, ln, l.label, l.text,
               if (numeric) l.normalized.toDouble else 0.0,
@@ -861,13 +867,17 @@ object SparkEntry {
       // at 100× input)
       val clean = s3.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
       val deduped = Dedup.dedupLines(clean, "doc_id", "page_text")
-      val redacted = deduped.select(col("doc_id"), col("page_text")).as[(Long, String)]
+      deduped.select(col("doc_id"), col("page_text")).as[(Long, String)]
         .mapPartitions(_.map { case (i, txt) =>
-          PageRow(i.toString, null, Array.empty[Byte], Redact.redactPII(txt), "")
+          // the pipeline's emitted surface is (tokens, sha) of the redacted
+          // text — the hand-pruned extractOne projection (same tokenizer
+          // boundaries, same sha; the scorer/merge kernels whose outputs
+          // this stage drops are skipped)
+          val (_, nTok, sha) = Extraction.extractTextStats(
+            PageRow(i.toString, null, Array.empty[Byte], Redact.redactPII(txt), ""))
+          (i, nTok.toLong, sha)
         })
-      Extraction.extract(redacted).toDF()
-        .select(col("url").cast("long").as("doc_id"),
-          col("n_tokens").cast("long").as("n_tokens"), col("text_sha256"))
+        .toDF("doc_id", "n_tokens", "text_sha256")
         .orderBy("doc_id")
     }),
     "q34_geometry" -> ((s, dir) => {
@@ -1081,10 +1091,14 @@ object SparkEntry {
       val schema = s.read.parquet(stage.toString).schema
       val stream = s.readStream.schema(schema).parquet(stage.toString)
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => PageRow(id.toString, null, Array.empty[Byte], text, "") }
-      val extracted = stream.mapPartitions(_.map(Extraction.extractOne))
-        .select(col("url").cast("long").as("doc_id"),
-          col("n_tokens").cast("long").as("n_tokens"), col("text_sha256"))
+      val extracted = stream
+        .mapPartitions(_.map { case (id, text) =>
+          // tokens/sha only — the hand-pruned extractOne projection
+          val (_, nTok, sha) = Extraction.extractTextStats(
+            PageRow(id.toString, null, Array.empty[Byte], text, ""))
+          (id, nTok.toLong, sha)
+        })
+        .toDF("doc_id", "n_tokens", "text_sha256")
       val qname = "graft_stream_extract_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = extracted.writeStream.outputMode("append").format("memory").queryName(qname).start()
       q.processAllAvailable(); q.stop()
@@ -1116,9 +1130,10 @@ object SparkEntry {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val doc = Extraction.extractOne(PageRow(id.toString, null,
+          // chars/tokens/sha only — the hand-pruned extractOne projection
+          val (et, nTok, sha) = Extraction.extractTextStats(PageRow(id.toString, null,
             boilerplateWrap(text).getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""))
-          (id, doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
+          (id, et.length.toLong, nTok.toLong, sha)
         })
         .toDF("doc_id", "n_chars_extracted", "n_tokens", "text_sha256")
         .orderBy(col("doc_id"))
@@ -1595,10 +1610,11 @@ object SparkEntry {
           lit("").as("text"), lit("").as("lang"))
         .as[PageRow]
         .mapPartitions(_.map { p =>
-          val doc = Extraction.extractOne(p)
+          // chars/tokens/sha only — the hand-pruned extractOne projection
+          val (et, nTok, sha) = Extraction.extractTextStats(p)
           (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
             p.warc_ts.getTime / 1000L,
-            doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
+            et.length.toLong, nTok.toLong, sha)
         })
         .toDF("doc_id", "ts_epoch", "n_chars_extracted", "n_tokens", "text_sha256")
         .orderBy("doc_id")
@@ -1645,9 +1661,9 @@ object SparkEntry {
           lit("").as("text"), lit("").as("lang"))
         .as[PageRow]
         .mapPartitions(_.map { p =>
-          val doc = Extraction.extractOne(p)
-          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
-            doc.extracted_text, doc.n_tokens.toLong)
+          // text/tokens only — the hand-pruned extractOne projection
+          val (et, nTok, _) = Extraction.extractTextStats(p)
+          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong, et, nTok.toLong)
         })
         .toDF("doc_id", "text", "n_tokens")
       // materialize: the batch lineage here is parse+extract — novelAgainst
@@ -1681,9 +1697,9 @@ object SparkEntry {
           lit("").as("text"), lit("").as("lang"))
         .as[PageRow]
         .mapPartitions(_.map { p =>
-          val doc = Extraction.extractOne(p)
-          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
-            doc.extracted_text, doc.n_tokens.toLong)
+          // text/tokens only — the hand-pruned extractOne projection
+          val (et, nTok, _) = Extraction.extractTextStats(p)
+          (p.url.substring(p.url.lastIndexOf('/') + 1).toLong, et, nTok.toLong)
         })
         .toDF("doc_id", "text", "n_tokens")
       val novel = graft.jobs.DedupIndexJob.novelAgainstStream(s, stream, "text", idx)
@@ -1888,10 +1904,11 @@ object SparkEntry {
           lit("").as("text"), lit("").as("lang"))
         .as[PageRow]
         .mapPartitions(_.map { p =>
-          val doc = Extraction.extractOne(p)
+          // chars/tokens/sha only — the hand-pruned extractOne projection
+          val (et, nTok, sha) = Extraction.extractTextStats(p)
           (p.url.substring(p.url.lastIndexOf('/') + 1).toLong,
             p.warc_ts.getTime / 1000L,
-            doc.extracted_text.length.toLong, doc.n_tokens.toLong, doc.text_sha256)
+            et.length.toLong, nTok.toLong, sha)
         })
         .toDF("doc_id", "ts_epoch", "n_chars_extracted", "n_tokens", "text_sha256")
         .orderBy("doc_id")

@@ -799,7 +799,54 @@ object Dedup {
     * isolated documents never enter the graph and implicitly keep
     * themselves ([[dedupNear]] relies on that).
     */
+  /** Edge-count gate below which [[resolveClustersDetailed]] collects the
+    * canonical edge set and resolves components with a driver-side
+    * union-find instead of iterating distributed rounds. The assignment is
+    * IDENTICAL (component minimum as keeper) — this is purely an execution
+    * strategy choice: each Kiveris round costs two shuffles plus two
+    * actions of fixed latency, so a bounded pair graph (the normal output
+    * of capped-bucket candidate generation) pays ~10 rounds of scheduling
+    * overhead to move a few MB. 4M edges ≈ 64 MB collected — the same
+    * justified-bounded-collect class as broadcast build sides; above the
+    * gate the distributed rounds run unchanged (the arbitrary-scale path).
+    * Tunable via `spark.graft.cc.localMaxEdges` (0 disables the fast path).
+    */
+  private def ccLocalMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localMaxEdges").map(_.toLong).getOrElse(4000000L)
+
+  /** Driver-side union-find over canonical (u > v) edges: returns every
+    * node mapped to its component minimum — the same fixed point the
+    * large-star/small-star rounds converge to.
+    */
+  private[engine] def unionFindAssignment(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        // union by MIN root: the keeper contract is the component minimum
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { case (u, v) => nodes.add(u); nodes.add(v) }
+    val out = new Array[(Long, Long)](nodes.size)
+    var i = 0
+    val it = nodes.iterator()
+    while (it.hasNext) { val n = it.next().longValue(); out(i) = (n, find(n)); i += 1 }
+    out
+  }
+
   def resolveClustersDetailed(pairs: Dataset[Pair], maxIterations: Int = 30): ClusterResult = {
+    val spark = pairs.sparkSession
     def sig(df: DataFrame): (Long, Long) = {
       // order-independent, overflow-free set signature (ANSI mode makes a
       // long SUM throw on overflow; XOR of 64-bit hashes cannot)
@@ -812,6 +859,24 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    val gate = ccLocalMaxEdges(spark)
+    if (gate > 0 && gate <= Int.MaxValue - 1) {
+      // bounded-collect probe: limit(gate+1) short-circuits, so either the
+      // WHOLE canonical edge set comes back (≤ gate rows) or the overflow
+      // row proves it is too big and the distributed rounds run instead
+      import spark.implicits._
+      val probe = edges.select(col("u"), col("v")).as[(Long, Long)]
+        .limit(gate.toInt + 1).collect()
+      if (probe.length <= gate) {
+        val local = unionFindAssignment(probe)
+        val assignment = spark.createDataset(
+            spark.sparkContext.parallelize(local.toIndexedSeq,
+              math.max(1, math.min(spark.sparkContext.defaultParallelism,
+                local.length / 4096 + 1))))
+          .toDF("id", "keeper_id")
+        return ClusterResult(assignment, 0)
+      }
+    }
     var prev = sig(edges)
     var iter = 0
     var converged = prev._1 == 0L

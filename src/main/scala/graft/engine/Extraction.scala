@@ -183,6 +183,61 @@ object Extraction {
     )
   }
 
+  /** Token count with [[graft.core.Rx.whitespaceTokensPacked]]'s exact
+    * boundary semantics but no span array allocation — the count-only
+    * projection of the tokenizer.
+    */
+  private[engine] def countWhitespaceTokens(text: String): Int = {
+    var i = 0
+    var inTok = false
+    var n = 0
+    val len = text.length
+    while (i < len) {
+      val c = text.charAt(i)
+      val ws = c == ' ' || c == '\n' || c == '\t' || c == '\f'
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  /** The (extracted_text, n_tokens, text_sha256) projection of
+    * [[extractOne]]. Catalyst cannot prune columns through an opaque
+    * mapPartitions closure, so callers that consume ONLY these three
+    * fields (sha/token-count oracle surfaces: q23/q44/q48/q59/q75/q77/q91)
+    * must do the pruning by hand — this runs the same html-strip and the
+    * same tokenizer boundary rules and the same sha, and skips the
+    * scorer/merge/langid/simhash kernels whose outputs such callers drop
+    * (guide §1.2: don't compute what you throw away). Field-for-field
+    * agreement with [[extractOne]] is spec-pinned (ExtractionSpec).
+    */
+  def extractTextStats(row: PageRow): (String, Int, String) = {
+    val text =
+      if (row.text != null && row.text.nonEmpty) row.text
+      else if (row.html != null && row.html.nonEmpty) Html.extract(Html.decodeBytes(row.html)).text
+      else ""
+    (text, countWhitespaceTokens(text), sha256Hex(text))
+  }
+
+  /** The `labels` projection of [[extractOne]] over a pre-extracted text —
+    * the same tokenize → score → percent-attach → horizontal merge →
+    * vertical merge chain, skipping the sha/simhash/langid fingerprint
+    * kernels and the span-array materialization that label-only consumers
+    * (q24) drop. Field-for-field agreement with [[extractOne]].labels is
+    * spec-pinned (ExtractionSpec).
+    */
+  def extractLabelsOnly(text: String): Array[LabeledSpan] = {
+    val packed = Rx.whitespaceTokensPacked(text)
+    val scored = attachPercentSignsPacked(text, packed, Scorer.scorePacked(text, packed))
+    val merged = mergeVerticalForMultiline(text, Merge.mergeHorizontal(text, scored))
+    merged.iterator.flatMap { case (m, memberSpans) =>
+      memberSpans.iterator.map(sp =>
+        LabeledSpan(m.label, sp.start, sp.end,
+          text.substring(sp.start, sp.end), m.confidence, m.normalized))
+    }.toArray
+  }
+
   /** Typed pipeline: Dataset[PageRow] → Dataset[ExtractedDoc], zero shuffle. */
   def extract(pages: Dataset[PageRow]): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession

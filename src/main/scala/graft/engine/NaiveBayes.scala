@@ -1,8 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Hashed multinomial Naive Bayes over whitespace tokens — the
   * fastText-class supervised scorer used for corpus curation (language
@@ -103,39 +102,55 @@ object NaiveBayes {
     Model(classes, priors, weights, buckets)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5") // getInstance has JCA lock contention
+  }
+
+  /** The per-document scoring kernel: integer micro-nat sums over the
+    * broadcast weight table, argmax with ties to the smallest class index.
+    * Pure; shared by [[score]] and any caller embedding the model.
+    */
+  def scoreOne(m: Model, text: String): (String, Long) = {
+    val md = md5Local.get()
+    val k = m.classes.length
+    val scores = m.priors.clone()
+    if (text != null) {
+      text.split(" ", -1).foreach { tkn =>
+        if (tkn.nonEmpty) {
+          val w = m.weights(bucketOf(md, tkn, m.buckets))
+          var c = 0
+          while (c < k) { scores(c) += w(c); c += 1 }
+        }
+      }
+    }
+    var best = 0
+    var c = 1
+    while (c < k) { if (scores(c) > scores(best)) best = c; c += 1 }
+    (m.classes(best), scores(best))
+  }
+
   /** Appends `predCol` (winning class) and `scoreCol` (its micro-nat
     * log-posterior, a BIGINT) to every row. Null/empty text scores on the
-    * priors alone. One narrow pass, model broadcast — no shuffle. */
+    * priors alone. One narrow pass, model broadcast — no shuffle.
+    *
+    * Catalyst-native: the kernel runs as a scalar UDF over the text column
+    * only, so the plan keeps the relational lineage (column pruning and
+    * filter pushdown reach the scan; AQE still plans downstream exchanges)
+    * instead of the previous `df.rdd.mapPartitions` + `createDataFrame`
+    * round-trip, which severed the plan at an RDD scan boundary, converted
+    * every row InternalRow↔Row both ways, and shipped ALL columns through
+    * the closure. Spec-asserted (NaiveBayesSpec: no ExistingRDD scan in
+    * the scored plan).
+    */
   def score(df: DataFrame, textCol: String, model: Model,
       predCol: String = "pred", scoreCol: String = "score"): DataFrame = {
     val spark = df.sparkSession
     val bm = spark.sparkContext.broadcast(model)
-    val ti = df.schema.fieldIndex(textCol)
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField(predCol, StringType, nullable = false),
-      StructField(scoreCol, LongType, nullable = false)))
-    val rdd = df.rdd.mapPartitions { it =>
-      val m = bm.value
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val k = m.classes.length
-      it.map { row =>
-        val text = row.getAs[String](ti)
-        val scores = m.priors.clone()
-        if (text != null) {
-          text.split(" ", -1).foreach { tkn =>
-            if (tkn.nonEmpty) {
-              val w = m.weights(bucketOf(md, tkn, m.buckets))
-              var c = 0
-              while (c < k) { scores(c) += w(c); c += 1 }
-            }
-          }
-        }
-        var best = 0
-        var c = 1
-        while (c < k) { if (scores(c) > scores(best)) best = c; c += 1 }
-        Row.fromSeq(row.toSeq :+ m.classes(best) :+ scores(best))
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val scoreUdf = udf { (text: String) => scoreOne(bm.value, text) }
+    df.withColumn("__nb", scoreUdf(col(textCol)))
+      .withColumn(predCol, col("__nb._1"))
+      .withColumn(scoreCol, col("__nb._2"))
+      .drop("__nb")
   }
 }

@@ -163,20 +163,52 @@ object Pack {
     * uniqueness + the key bijection make every rank deterministic with
     * no tiebreak.
     */
+  /** Exact range partitioner over a UNIFORMLY-MIXED long key (the
+    * [[seededShuffle]] bijection): partition i holds the i-th of
+    * `numPartitions` equal slices of the unsigned-offset key space, in
+    * signed ascending order. Because the key is a bijective mix of the id
+    * space, its distribution is uniform over 2^64 by construction, so the
+    * analytic boundaries are balanced WITHOUT the sampling pass
+    * `repartitionByRange` pays (which executes the child subtree an extra
+    * time) — and, unlike sampled boundaries, they are a pure function of
+    * the key: re-executed tasks land rows identically, so no checkpoint is
+    * needed to pin the two-phase rank's partitioning.
+    */
+  private final class MixedKeyRangePartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    require(n >= 1)
+    private val step = java.lang.Long.divideUnsigned(-1L, n.toLong) + 1L
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      // signed order == unsigned order of (key XOR Long.MinValue)
+      val u = key.asInstanceOf[Long] ^ Long.MinValue
+      java.lang.Long.divideUnsigned(u, step).toInt
+    }
+  }
+
   def shardAssign(df: DataFrame, idCol: String, seed: Long,
       shardSize: Long): DataFrame = {
     require(shardSize >= 1, s"shardAssign: shardSize must be >= 1, got $shardSize")
     val spark = df.sparkSession
     import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // ONE exchange, analytically range-partitioned on the mixed key and
+    // sorted within partitions — the same global order repartitionByRange +
+    // sortWithinPartitions produced, minus its boundary-sampling pass and
+    // minus the localCheckpoint both rank passes needed when boundaries
+    // were sampled (sampled boundaries are execution-dependent; analytic
+    // ones are deterministic, so the counts pass and the emit pass below
+    // re-read the SAME shuffle output — Spark reuses the shuffle files
+    // across jobs on one RDD lineage).
     val keyed = df
       .select(col(idCol).cast("long").as("id"))
       .withColumn("key",
         graft.functions.GraftFunctions.shuffle_key64(col("id"), seed))
-      .repartitionByRange(col("key"))
-      .sortWithinPartitions("key")
       .as[(Long, Long)]
-      .localCheckpoint(true) // pin partitioning: both passes must agree
-    val partCounts = keyed.rdd
+      .rdd
+      .map { case (id, key) => (key, id) }
+      .repartitionAndSortWithinPartitions(new MixedKeyRangePartitioner(n))
+    val partCounts = keyed
       .mapPartitionsWithIndex { (pid, it) =>
         Iterator.single((pid, it.size.toLong))
       }
@@ -185,16 +217,15 @@ object Pack {
       .map(_._2)
     val offsets = partCounts.scanLeft(0L)(Math.addExact).dropRight(1)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    keyed
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+    spark.createDataset(
+      keyed.mapPartitionsWithIndex { (pid, it) =>
         var rank = bOffsets.value(pid)
-        it.map { case (id, key) =>
+        it.map { case (key, id) =>
           val r = rank
           rank += 1
           (id, key, r, r / shardSize, r % shardSize)
         }
-      }
+      })
       .toDF(idCol, "shuffle_key", "rank", "shard", "pos_in_shard")
   }
 }

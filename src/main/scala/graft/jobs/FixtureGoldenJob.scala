@@ -95,37 +95,47 @@ object FixtureGoldenJob {
   /** Train the multiclass scorer on the fixture training split. */
   def train(spark: SparkSession, root: String = DefaultRoot,
       trainIds: Seq[String] = TrainIds, hyper: Hyper = Hyper()): TrainScorerJob.FittedK = {
-    import spark.implicits._
     val dim = FeatureFrame.width()
-    // one doc per partition: partial-gradient combine order is fixed
-    val examples: Dataset[ExampleS] = spark
-      .createDataset(spark.sparkContext.parallelize(trainIds, trainIds.length))
-      .mapPartitions(_.flatMap { id =>
-        val doc = FixtureProject.loadDoc(root, id)
-        val (tokens, frame) = frameOf(doc)
-        val labels = containmentLabels(tokens,
-          doc.spans.filter(_.isCorrect).sortBy(s => (s.start, s.end)))
-        val labelOf = new java.util.HashMap[Long, String](tokens.length * 2)
-        tokens.indices.foreach { i =>
-          labelOf.put((tokens(i).start.toLong << 32) | tokens(i).end.toLong, labels(i))
-        }
-        frame.iterator.map { r =>
-          ExampleS(labelOf.getOrDefault((r.start.toLong << 32) | r.end.toLong, NoLabel),
-            r.features)
-        }
-      })
-      .persist()
-    try {
-      // exact per-class counts (longs — order-independent) → balanced weights
-      val counts = examples.groupByKey(_.label).count().collect().toMap
-      val classes = counts.keys.toArray.sorted
-      val countArr = classes.map(counts)
-      val weights = TrainScorerJob.balancedWeights(countArr).map(w => math.pow(w, hyper.weightPower))
-      val classIdx = classes.zipWithIndex.toMap
-      val ks = examples.map(ex => TrainScorerJob.ExampleK(classIdx(ex.label), ex.features))
-      TrainScorerJob.fitSoftmax(ks, classes.length, dim, weights, classes = classes,
-        iters = hyper.iters, lr = hyper.lr, l2 = hyper.l2, momentum = hyper.momentum)
-    } finally { examples.unpersist(); () }
+    // one doc per partition (partial-gradient combine order is fixed), the
+    // per-partition arrays collected ONCE: 5 payslips of ~270-wide frame
+    // rows are a few MB — a bounded collect — and the `iters`-step fit then
+    // runs on the driver via fitSoftmaxLocal, which is bit-identical to the
+    // distributed fitSoftmax (same partition-ordered partial combines) but
+    // costs one Spark job instead of iters+2 (measured: the 80 per-step
+    // jobs of milliseconds of arithmetic each were ~the whole train wall).
+    val parts: IndexedSeq[Array[ExampleS]] = spark.sparkContext
+      .parallelize(trainIds, trainIds.length)
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rows = it.flatMap { id =>
+          val doc = FixtureProject.loadDoc(root, id)
+          val (tokens, frame) = frameOf(doc)
+          val labels = containmentLabels(tokens,
+            doc.spans.filter(_.isCorrect).sortBy(s => (s.start, s.end)))
+          val labelOf = new java.util.HashMap[Long, String](tokens.length * 2)
+          tokens.indices.foreach { i =>
+            labelOf.put((tokens(i).start.toLong << 32) | tokens(i).end.toLong, labels(i))
+          }
+          frame.iterator.map { r =>
+            ExampleS(labelOf.getOrDefault((r.start.toLong << 32) | r.end.toLong, NoLabel),
+              r.features)
+          }
+        }.toArray
+        Iterator.single((pid, rows))
+      }
+      .collect().sortBy(_._1).toIndexedSeq.map(_._2)
+    // exact per-class counts (longs — order-independent) → balanced weights
+    val counts = parts.iterator.flatten
+      .foldLeft(Map.empty[String, Long]) { (m, ex) =>
+        m.updated(ex.label, m.getOrElse(ex.label, 0L) + 1L)
+      }
+    val classes = counts.keys.toArray.sorted
+    val countArr = classes.map(counts)
+    val weights = TrainScorerJob.balancedWeights(countArr).map(w => math.pow(w, hyper.weightPower))
+    val classIdx = classes.zipWithIndex.toMap
+    val ks = parts.map(_.map(ex =>
+      TrainScorerJob.ExampleK(classIdx(ex.label), ex.features)))
+    TrainScorerJob.fitSoftmaxLocal(ks, classes.length, dim, weights, classes = classes,
+      iters = hyper.iters, lr = hyper.lr, l2 = hyper.l2, momentum = hyper.momentum)
   }
 
   /** Extract one fixture doc with a fitted model: predict_proba → drop

@@ -238,6 +238,130 @@ object TrainScorerJob {
     FittedK(classes, w, b, mean, scale, loss, iters)
   }
 
+  /** [[fitSoftmax]] computed entirely on the driver from pre-collected
+    * per-partition example arrays — BIT-IDENTICAL to the distributed fit:
+    * the distributed loop's only cross-partition float operations are the
+    * stats / nW / gradient partial combines, which it already pins to
+    * partition order (`collect()` returns partitions in index order), and
+    * within a partition both versions iterate rows in the same order. This
+    * local form exists because an `iters`-step fit is `iters` sequential
+    * Spark jobs of milliseconds of arithmetic each — on a 5-document
+    * fixture corpus the scheduling latency is ~100% of the wall. Callers
+    * with executor-resident data keep using [[fitSoftmax]]; callers whose
+    * training set is a bounded collect (the fixture golden) pass the
+    * per-partition arrays here.
+    */
+  def fitSoftmaxLocal(
+      parts: IndexedSeq[Array[ExampleK]], numClasses: Int, dim: Int,
+      classWeights: Array[Double],
+      iters: Int = 200, lr: Double = 0.5, l2: Double = 1e-4,
+      momentum: Double = 0.0,
+      classes: Array[String] = Array.empty): FittedK = {
+    // stats(): per-partition (n, sum, sumSq) partials combined in partition
+    // order — the same arithmetic order as the distributed mapPartitions +
+    // collect().foldLeft
+    val statParts = parts.map { rows =>
+      var n = 0L
+      val s = new Array[Double](dim)
+      val s2 = new Array[Double](dim)
+      rows.foreach { ex =>
+        n += 1
+        var i = 0
+        while (i < dim) { s(i) += ex.features(i); s2(i) += ex.features(i) * ex.features(i); i += 1 }
+      }
+      (n, s, s2)
+    }
+    val (n, sum, sumSq) = statParts.foldLeft((0L, new Array[Double](dim), new Array[Double](dim))) { (a, c) =>
+      var i = 0
+      while (i < dim) { a._2(i) += c._2(i); a._3(i) += c._3(i); i += 1 }
+      (a._1 + c._1, a._2, a._3)
+    }
+    val mean = sum.map(_ / math.max(1L, n))
+    val scale = Array.tabulate(dim) { i =>
+      val v = sumSq(i) / math.max(1L, n) - mean(i) * mean(i)
+      math.max(1e-9, math.sqrt(math.max(0, v)))
+    }
+    // nW: per-partition partial sums combined in partition order
+    val nW = parts.map { rows =>
+      var s = 0.0
+      rows.foreach(ex => s += classWeights(ex.y))
+      s
+    }.sum
+    require(nW > 0, "fitSoftmaxLocal: empty training set")
+    var w = Array.fill(numClasses)(new Array[Double](dim))
+    var b = new Array[Double](numClasses)
+    val vW = Array.fill(numClasses)(new Array[Double](dim))
+    val vB = new Array[Double](numClasses)
+    var loss = 0.0
+    (0 until iters).foreach { _ =>
+      val partials = parts.map { rows =>
+        val grad = Array.fill(numClasses)(new Array[Double](dim))
+        val gradB = new Array[Double](numClasses)
+        var l = 0.0
+        val x = new Array[Double](dim)
+        val z = new Array[Double](numClasses)
+        rows.foreach { ex =>
+          var i = 0
+          while (i < dim) { x(i) = (ex.features(i) - mean(i)) / scale(i); i += 1 }
+          var k = 0
+          var zMax = Double.MinValue
+          while (k < numClasses) {
+            var zz = b(k)
+            val wk = w(k)
+            i = 0
+            while (i < dim) { zz += wk(i) * x(i); i += 1 }
+            z(k) = zz
+            if (zz > zMax) zMax = zz
+            k += 1
+          }
+          var sumExp = 0.0
+          k = 0
+          while (k < numClasses) { z(k) = math.exp(z(k) - zMax); sumExp += z(k); k += 1 }
+          val weight = classWeights(ex.y)
+          k = 0
+          while (k < numClasses) {
+            val p = z(k) / sumExp
+            val err = weight * (p - (if (k == ex.y) 1.0 else 0.0))
+            val gk = grad(k)
+            i = 0
+            while (i < dim) { gk(i) += err * x(i); i += 1 }
+            gradB(k) += err
+            if (k == ex.y) l += -weight * math.log(math.max(p, 1e-12))
+            k += 1
+          }
+        }
+        (grad, gradB, l)
+      }
+      val g = Array.fill(numClasses)(new Array[Double](dim))
+      val gB = new Array[Double](numClasses)
+      var l = 0.0
+      partials.foreach { case (pg, pb, pl) =>
+        var k = 0
+        while (k < numClasses) {
+          var i = 0
+          while (i < dim) { g(k)(i) += pg(k)(i); i += 1 }
+          gB(k) += pb(k)
+          k += 1
+        }
+        l += pl
+      }
+      var k = 0
+      while (k < numClasses) {
+        var i = 0
+        while (i < dim) {
+          vW(k)(i) = momentum * vW(k)(i) - lr * (g(k)(i) / nW + l2 * w(k)(i))
+          i += 1
+        }
+        vB(k) = momentum * vB(k) - lr * gB(k) / nW
+        k += 1
+      }
+      w = Array.tabulate(numClasses)(k => Array.tabulate(dim)(i => w(k)(i) + vW(k)(i)))
+      b = Array.tabulate(numClasses)(k => b(k) + vB(k))
+      loss = l / nW
+    }
+    FittedK(classes, w, b, mean, scale, loss, iters)
+  }
+
   /** Class probabilities of a fitted softmax model — pure, broadcastable. */
   def predictProba(m: FittedK, features: Array[Double]): Array[Double] = {
     val k = m.weights.length

@@ -44,13 +44,23 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(Dedup.resolveClusters(pairsOf()).count() == 0L)
   }
 
+  /** Force the distributed large-star/small-star rounds (the size-gated
+    * driver union-find fast path would otherwise absorb these graphs). */
+  private def withDistributedCC[A](body: => A): A = {
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try body finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
   test("512-node path graph converges within the O(log^2 n) round bound") {
     // worst case for label propagation (diameter 511 — naive min-label
     // propagation would need ~511 rounds); the alternating algorithm's
     // doubling collapses it in O(log^2 n). Assert a concrete bound so a
     // regression to linear behavior fails loudly rather than slowly.
     val edges = (0L until 511L).map(i => (i, i + 1))
-    val res = Dedup.resolveClustersDetailed(pairsOf(edges: _*))
+    val res = withDistributedCC {
+      Dedup.resolveClustersDetailed(pairsOf(edges: _*))
+    }
+    assert(res.iterations > 0, "distributed path did not run (fast-path gate leaked)")
     assert(res.iterations <= 12, s"path-512 took ${res.iterations} rounds")
     import spark.implicits._
     val m = res.assignment.as[(Long, Long)].collect().toMap
@@ -59,9 +69,26 @@ class DedupClusterSpec extends AnyFunSuite {
 
   test("maxIterations is a loud bound, not a silent truncation") {
     intercept[IllegalStateException] {
-      Dedup.resolveClustersDetailed(pairsOf((0L until 255L).map(i => (i, i + 1)): _*),
-        maxIterations = 1)
+      withDistributedCC {
+        Dedup.resolveClustersDetailed(pairsOf((0L until 255L).map(i => (i, i + 1)): _*),
+          maxIterations = 1)
+      }
     }
+  }
+
+  test("driver union-find fast path matches the distributed rounds exactly") {
+    import spark.implicits._
+    // chains, a merged pair of chains, a clique, duplicates and reversed
+    // directions — every structural case in one graph
+    val edges = (0L until 64L).map(i => (i, i + 1)) ++
+      Seq((200L, 210L), (210L, 220L), (220L, 200L), (300L, 301L), (301L, 300L)) ++
+      (for (i <- 400L until 410L; j <- i + 1 until 410L) yield (i, j))
+    val fast = Dedup.resolveClustersDetailed(pairsOf(edges: _*))
+    assert(fast.iterations == 0, "expected the size-gated fast path")
+    val dist = withDistributedCC { Dedup.resolveClustersDetailed(pairsOf(edges: _*)) }
+    val fm = fast.assignment.as[(Long, Long)].collect().toMap
+    val dm = dist.assignment.as[(Long, Long)].collect().toMap
+    assert(fm == dm, s"fast/distributed assignment divergence: ${fm.toSet.diff(dm.toSet)}")
   }
 
   test("sparsifyCandidates keeps chains intact and caps dense-family degree") {

@@ -18,6 +18,32 @@ class ExtractionSpec extends AnyFunSuite {
     assert(a.length == 100)
   }
 
+  test("extractTextStats / extractLabelsOnly agree field-for-field with extractOne") {
+    // the hand-pruned projections must stay byte/field-identical to the
+    // full kernel on every input shape: html path, pre-extracted text path,
+    // empty row, label-dense invoice text, multiline merge candidates
+    val htmlRows = (0L until 40L).map { i =>
+      val p = WebCorpus.page(i)
+      PageRow(p.url, p.warc_ts, p.html, "", p.lang)
+    }
+    val textRows = (0L until 40L).map { i =>
+      val p = WebCorpus.page(i)
+      PageRow(p.url, p.warc_ts, Array.empty[Byte], p.text, p.lang)
+    }
+    val invoice = PageRow("x", null, Array.empty[Byte],
+      "Rechnung Anzahl 17 Betrag 1234,56 am 03.04.2020 Rabatt 7 % Kontakt a@b.de", "")
+    val empty = PageRow("e", null, Array.empty[Byte], "", "")
+    (htmlRows ++ textRows ++ Seq(invoice, empty)).foreach { row =>
+      val full = Extraction.extractOne(row)
+      val (text, nTok, sha) = Extraction.extractTextStats(row)
+      assert(text == full.extracted_text, s"text mismatch for ${row.url}")
+      assert(nTok == full.n_tokens, s"n_tokens mismatch for ${row.url}")
+      assert(sha == full.text_sha256, s"sha mismatch for ${row.url}")
+      val labels = Extraction.extractLabelsOnly(full.extracted_text)
+      assert(labels.toSeq == full.labels.toSeq, s"labels mismatch for ${row.url}")
+    }
+  }
+
   test("extracted text matches the corpus golden byte-for-byte (per-url invariant)") {
     import spark.implicits._
     val rows = Extraction.extract(Extraction.syntheticPages(spark, 30, 4))

@@ -75,10 +75,19 @@ class NaiveBayesSpec extends AnyFunSuite {
       .select("id", "pred", "score").as[(Long, String, Long)]
       .collect().sortBy(_._1).toSeq
     assert(run(1) == run(7))
-    val plan = NaiveBayes.score(
-        Seq((1L, "a b")).toDF("id", "text"), "text", model)
+    // a Range-backed frame: a LocalRelation would constant-fold the whole
+    // projection away and leave no plan to assert on
+    val planDf = spark.range(2).select(col("id"),
+      concat(lit("tok"), col("id").cast("string")).as("text"))
+    val plan = NaiveBayes.score(planDf, "text", model)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // Catalyst-native score: the relational lineage must survive (no
+    // df.rdd round-trip severing the plan at an RDD scan), and the UDF
+    // must evaluate ONCE per row (the struct projection must not be
+    // collapsed into per-field duplicate calls)
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.sliding("UDF(".length).count(_ == "UDF(") == 1, plan)
     intercept[IllegalArgumentException](NaiveBayes.fit(corpus, "text", "lang", buckets = 1))
     // a key-like label column fails loud before the driver model allocates
     intercept[IllegalArgumentException](NaiveBayes.fit(
