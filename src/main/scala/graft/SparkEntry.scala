@@ -349,17 +349,23 @@ object SparkEntry {
       // percent attachment.
       import s.implicits._
       t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"),
-          date_format(col("l_shipdate"), "dd.MM.yyyy").as("gdate"),
-          round(col("l_discount") * 100).cast("long").as("pct"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_shipdate"), col("l_discount"))
         // deterministic total order WITHOUT re-executing the extraction: a
         // global orderBy AFTER the mapPartitions range-samples its child,
         // which runs the expensive kernel twice. Range-partition the CHEAP
         // input instead (sampling re-reads only the pruned lineitem scan),
         // extract, then sort within partitions — same total order, the
-        // kernel runs once.
+        // kernel runs once. The computed projection (date_format, cents)
+        // sits ABOVE the exchange: the boundary-sampling pass then runs
+        // only the raw scan, and the shuffle carries the int32 date, not
+        // the formatted string (guide §2.3: project before the exchange —
+        // here the cheap columns go through, the derived ones after).
         .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          date_format(col("l_shipdate"), "dd.MM.yyyy").as("gdate"),
+          round(col("l_discount") * 100).cast("long").as("pct"))
         .as[(Long, Int, Long, String, Long)]
         .mapPartitions(_.flatMap { case (ok, ln, cents, gdate, pct) =>
           // quantity stays 2-digit: 4/6/8-digit bare integers are
@@ -569,8 +575,12 @@ object SparkEntry {
       // decode/pooling regression breaks the hash. This is the image leg of
       // the multimodal surface, stub-free.
       import s.implicits._
-      s.range(0L, 500L, 1L, 8)
-        .repartitionByRange(8, col("id")) // sort keys fixed pre-kernel (see q24)
+      // range partitions are ALREADY contiguous ascending id slices, so the
+      // old repartitionByRange(8) was a redundant exchange (plus its
+      // boundary-sampling pass) AND pinned the ImageIO work to 8 tasks;
+      // core-count partitions spread the codec work across the session's
+      // full parallelism with the identical output order
+      s.range(0L, 500L, 1L, s.sparkContext.defaultParallelism)
         .as[Long]
         .mapPartitions(_.map { i =>
           val w = 16 + (i % 5).toInt
@@ -590,8 +600,8 @@ object SparkEntry {
       // (sample count, abs-sum, zero crossings), all recomputed by the
       // oracle from the waveform formula.
       import s.implicits._
-      s.range(0L, 500L, 1L, 8)
-        .repartitionByRange(8, col("id")) // sort keys fixed pre-kernel (see q24)
+      // contiguous range partitions — no exchange needed (see q51)
+      s.range(0L, 500L, 1L, s.sparkContext.defaultParallelism)
         .as[Long]
         .mapPartitions(_.map { i =>
           val n = 800 + (i % 100).toInt
@@ -612,8 +622,9 @@ object SparkEntry {
       // recomputes every value from the pattern formula. This is the
       // frame-sample leg of the multimodal surface, stub-free.
       import s.implicits._
-      s.range(0L, 500L, 1L, 8)
-        .repartitionByRange(8, col("id")) // sort keys fixed pre-kernel (see q24)
+      // contiguous range partitions — no exchange needed (see q51); GIF
+      // encode/decode through ImageIO is the cost, spread over all cores
+      s.range(0L, 500L, 1L, s.sparkContext.defaultParallelism)
         .as[Long]
         .mapPartitions(_.map { i =>
           val nFrames = (i % 5).toInt + 2 // 2..6 — all under the sample cap

@@ -78,10 +78,16 @@ object Importance {
     require(tr > 0L, "Importance.importanceWeights: empty raw model")
     val toks = raw.select(col(idCol).cast("long").as("__imp_id"),
       explode(Retrieval.bigramTerms(Retrieval.alnumTokens(col(textCol)))).as("term"))
+    // ONE merged (term, cr, ct) model instead of two separate broadcast
+    // builds + two corpus-side joins: the full-outer vocabulary merge is
+    // vocabulary-sized (cheap), and `toks LEFT JOIN merged` is
+    // row-for-row equivalent to the two sequential left joins (null cr/ct
+    // coalesce to 0 either way)
+    val merged = rawCnt.withColumnRenamed("cnt", "cr")
+      .join(tgtCnt.withColumnRenamed("cnt", "ct"), Seq("term"), "full_outer")
     def model(m: DataFrame) = if (broadcastModels) F.broadcast(m) else m
     toks
-      .join(model(rawCnt.withColumnRenamed("cnt", "cr")), Seq("term"), "left")
-      .join(model(tgtCnt.withColumnRenamed("cnt", "ct")), Seq("term"), "left")
+      .join(model(merged), Seq("term"), "left")
       .withColumn("cr", coalesce(col("cr"), lit(0L)))
       .withColumn("ct", coalesce(col("ct"), lit(0L)))
       .groupBy(col("__imp_id").as(idCol))

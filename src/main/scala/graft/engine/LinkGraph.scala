@@ -100,6 +100,53 @@ object LinkGraph {
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val spark = edges.sparkSession
+    // Size-gated driver fast path (the resolveClusters discipline): each
+    // distributed round is two join shuffles plus two actions of fixed
+    // latency, which dominates wall time on bounded graphs (host graphs
+    // are ~|hosts| rows). The probe either returns the WHOLE edge list
+    // (≤ gate) or the overflow row sends us to the distributed rounds.
+    // Float caveat: contribution-sum order differs from the distributed
+    // aggregation's (itself partition-nondeterministic) — both sit ~1e-13
+    // from each other, far inside the 6-decimal grid every consumer of
+    // pageRank emits at (the same cross-engine tolerance the DuckDB
+    // oracle replay already absorbs).
+    val gate = spark.conf.getOption("spark.graft.pagerank.localMaxEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    if (gate > 0 && gate <= Int.MaxValue - 1) {
+      import spark.implicits._
+      val probe = edges.select(col("src_host").cast("string"), col("dst_host").cast("string"))
+        .as[(String, String)].limit(gate.toInt + 1).collect()
+      if (probe.length <= gate) {
+        val hosts = (probe.iterator.map(_._1) ++ probe.iterator.map(_._2))
+          .toArray.distinct.sorted
+        val n = hosts.length
+        if (n == 0)
+          return spark.emptyDataset[(String, Double)].toDF("host", "rank")
+        val idx = hosts.zipWithIndex.toMap
+        val out = new Array[Long](n)
+        probe.foreach { case (s, _) => out(idx(s)) += 1L }
+        var ranks = Array.fill(n)(1.0 / n)
+        for (_ <- 1 to iters) {
+          var dangling = 0.0
+          var i = 0
+          while (i < n) { if (out(i) == 0L) dangling += ranks(i); i += 1 }
+          val contrib = new Array[Double](n)
+          probe.foreach { case (s, d) =>
+            contrib(idx(d)) += ranks(idx(s)) / out(idx(s))
+          }
+          val next = new Array[Double](n)
+          i = 0
+          while (i < n) {
+            next(i) = (1 - damping) / n + damping * (contrib(i) + dangling / n)
+            i += 1
+          }
+          ranks = next
+        }
+        return spark.createDataset(hosts.indices.map(i => (hosts(i), ranks(i))))
+          .toDF("host", "rank")
+      }
+    }
     val e = edges.select(col("src_host").as("src"), col("dst_host").as("dst"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("host"))

@@ -43,17 +43,20 @@ object Pack {
     require(budget >= 1, s"chunkAssign: budget must be >= 1, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
+    // one physical range exchange drives both passes (see [[shardAssign]]:
+    // toRdd pins the sampled boundaries and reuses the shuffle files, so
+    // the old eager localCheckpoint is unnecessary)
     val sorted = df
       .select(col(idCol).cast("long").as("id"),
         coalesce(col(tokenCol).cast("long"), lit(0L)).as("toks"))
       .repartitionByRange(col("id"))
       .sortWithinPartitions("id")
-      .as[(Long, Long)]
-      .localCheckpoint(true) // pin partitioning: both passes must agree
-    val partSums = sorted.rdd
+    val rdd = sorted.queryExecution.toRdd // (id, toks) InternalRows
+    val partSums = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach { case (_, t) =>
+        it.foreach { row =>
+          val t = row.getLong(1)
           require(t >= 0, s"chunkAssign: negative token count $t")
           s = Math.addExact(s, t)
         }
@@ -64,11 +67,12 @@ object Pack {
       .map(_._2)
     val offsets = partSums.scanLeft(0L)(Math.addExact).dropRight(1)
     val bOffsets = spark.sparkContext.broadcast(offsets)
-    sorted
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+    spark.createDataset(
+      rdd.mapPartitionsWithIndex { (pid, it) =>
         var running = bOffsets.value(pid)
-        it.map { case (id, t) =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val t = row.getLong(1)
           val start = running
           running = Math.addExact(running, t)
           val end = running
@@ -77,7 +81,7 @@ object Pack {
           (id, t, start, shardStart, shardEnd,
             if (shardEnd > shardStart) 1 else 0)
         }
-      }
+      })
       .toDF(idCol, "n_tokens", "start_pos", "shard_start", "shard_end",
         "spans_boundary")
   }
@@ -163,54 +167,32 @@ object Pack {
     * uniqueness + the key bijection make every rank deterministic with
     * no tiebreak.
     */
-  /** Exact range partitioner over a UNIFORMLY-MIXED long key (the
-    * [[seededShuffle]] bijection): partition i holds the i-th of
-    * `numPartitions` equal slices of the unsigned-offset key space, in
-    * signed ascending order. Because the key is a bijective mix of the id
-    * space, its distribution is uniform over 2^64 by construction, so the
-    * analytic boundaries are balanced WITHOUT the sampling pass
-    * `repartitionByRange` pays (which executes the child subtree an extra
-    * time) — and, unlike sampled boundaries, they are a pure function of
-    * the key: re-executed tasks land rows identically, so no checkpoint is
-    * needed to pin the two-phase rank's partitioning.
-    */
-  private final class MixedKeyRangePartitioner(n: Int)
-      extends org.apache.spark.Partitioner {
-    require(n >= 1)
-    private val step = java.lang.Long.divideUnsigned(-1L, n.toLong) + 1L
-    override def numPartitions: Int = n
-    override def getPartition(key: Any): Int = {
-      // signed order == unsigned order of (key XOR Long.MinValue)
-      val u = key.asInstanceOf[Long] ^ Long.MinValue
-      java.lang.Long.divideUnsigned(u, step).toInt
-    }
-  }
-
   def shardAssign(df: DataFrame, idCol: String, seed: Long,
       shardSize: Long): DataFrame = {
     require(shardSize >= 1, s"shardAssign: shardSize must be >= 1, got $shardSize")
     val spark = df.sparkSession
     import spark.implicits._
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    // ONE exchange, analytically range-partitioned on the mixed key and
-    // sorted within partitions — the same global order repartitionByRange +
-    // sortWithinPartitions produced, minus its boundary-sampling pass and
-    // minus the localCheckpoint both rank passes needed when boundaries
-    // were sampled (sampled boundaries are execution-dependent; analytic
-    // ones are deterministic, so the counts pass and the emit pass below
-    // re-read the SAME shuffle output — Spark reuses the shuffle files
-    // across jobs on one RDD lineage).
-    val keyed = df
+    // ONE physical instance of the range exchange drives BOTH rank passes:
+    // `queryExecution.toRdd` pins the sampled range boundaries (the
+    // RangePartitioner is built once on the driver for this RDD DAG) and
+    // the emit pass re-reads the counts pass's shuffle files, so the
+    // previous eager localCheckpoint — whose only job was to stop two
+    // separate Dataset actions from re-sampling different boundaries — is
+    // unnecessary, and the exchange stays a Tungsten columnar shuffle
+    // (an RDD-level custom partitioner was measured slower: Tuple2 rows
+    // pay Java serialization where UnsafeRow shuffles compact bytes).
+    val sorted = df
       .select(col(idCol).cast("long").as("id"))
       .withColumn("key",
         graft.functions.GraftFunctions.shuffle_key64(col("id"), seed))
-      .as[(Long, Long)]
-      .rdd
-      .map { case (id, key) => (key, id) }
-      .repartitionAndSortWithinPartitions(new MixedKeyRangePartitioner(n))
-    val partCounts = keyed
+      .repartitionByRange(col("key"))
+      .sortWithinPartitions("key")
+    val rdd = sorted.queryExecution.toRdd // (id, key) InternalRows
+    val partCounts = rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single((pid, it.size.toLong))
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single((pid, n))
       }
       .collect() // numPartitions (pid, count) pairs
       .sortBy(_._1)
@@ -218,9 +200,11 @@ object Pack {
     val offsets = partCounts.scanLeft(0L)(Math.addExact).dropRight(1)
     val bOffsets = spark.sparkContext.broadcast(offsets)
     spark.createDataset(
-      keyed.mapPartitionsWithIndex { (pid, it) =>
+      rdd.mapPartitionsWithIndex { (pid, it) =>
         var rank = bOffsets.value(pid)
-        it.map { case (key, id) =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val key = row.getLong(1)
           val r = rank
           rank += 1
           (id, key, r, r / shardSize, r % shardSize)

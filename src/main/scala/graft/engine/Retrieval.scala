@@ -86,21 +86,45 @@ object Retrieval {
   }
 
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // nDocs never needs the tokenizer: count the (column-pruned) corpus
+    val nDocs = docs.count()
+    require(nDocs > 0L, "Retrieval.buildIndex: empty corpus")
     val base = docs.select(col(idCol).cast("long").as("id"),
       bigramTerms(alnumTokens(col(textCol))).as("terms"))
-    val g = base.agg(count(lit(1)),
-      coalesce(sum(size(col("terms"))).cast("long"), lit(0L))).head
-    val nDocs = g.getLong(0)
-    require(nDocs > 0L, "Retrieval.buildIndex: empty corpus")
+    // Per-document tf is PARTITION-LOCAL by construction (one row = one
+    // document), so the postings table needs NO exchange: the previous
+    // explode + groupBy(id, dl, term) shuffled every term instance of the
+    // corpus to aggregate counts that a per-row hash map produces narrowly.
+    // Tokenization stays in Catalyst (exact parity with the oracle's
+    // expression tree); only the counting crosses the typed boundary.
+    // This also collapses the old two tokenize passes (count/sum action +
+    // postings build) into the ONE pass the checkpoint materializes —
+    // totalTerms = Σ tf is read back from the checkpointed postings.
     val postings = base
-      .select(col("id"), size(col("terms")).as("dl"), explode(col("terms")).as("term"))
-      .groupBy("id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, terms) =>
+        val dl = terms.length
+        val tf = new java.util.LinkedHashMap[String, Long]()
+        terms.foreach(t => tf.merge(t, 1L, (a, b) => a + b))
+        val it = tf.entrySet().iterator()
+        new Iterator[(Long, Int, String, Long)] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (Long, Int, String, Long) = {
+            val e = it.next()
+            (id, dl, e.getKey, e.getValue)
+          }
+        }
+      })
+      .toDF("id", "dl", "term", "tf")
       .localCheckpoint(true)
+    val totalTerms = postings.agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
+      .head.getLong(0)
     val termStats = postings.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .localCheckpoint(true)
-    Bm25Index(postings, termStats, nDocs, g.getLong(1))
+    Bm25Index(postings, termStats, nDocs, totalTerms)
   }
 
   /** Score every (query, candidate) pair whose integer term overlap

@@ -383,7 +383,10 @@ object Sampling {
     val pruned = keyed
       .select(col(strataCol).cast("string").as(g), col(arrivalCol).as(o),
         col(keyCol).cast("string").as(kk))
-      .filter(col(g).isNotNull)
+      // null keys produce a null md5 coordinate and hence a null arrival,
+      // which would NPE opaquely in the non-nullable Long decode below —
+      // filter them like capPerGroup does (null keys cannot race)
+      .filter(col(g).isNotNull && col(o).isNotNull)
       .as[(String, Long, String)]
       .sortWithinPartitions(col(g), col(o), col(kk))
       .mapPartitions { it =>

@@ -62,16 +62,37 @@ object RetrievalIndexJob {
     val nDocs = meta.getAs[Long]("n_docs")
     val totalTerms = meta.getAs[Long]("total_terms")
     val nBuckets = meta.getAs[Int]("n_buckets")
-    // materialized once: the tiny term set feeds the bucket collect AND
-    // the probe join
+    // materialized once: the tiny term set feeds the bucket collect, the
+    // term-pushdown list AND the probe join
     val qt = Retrieval.queryTerms(queries).localCheckpoint(true)
     val buckets = qt.select(bucketOf(nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted
     val pruned = spark.read.parquet(s"$outDir/postings")
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
-    Retrieval.scoreMatched(pruned.join(broadcast(qt), Seq("term")),
+    Retrieval.scoreMatched(
+      termPushdown(pruned, qt).join(broadcast(qt), Seq("term")),
       nDocs, totalTerms.toDouble / nDocs.toDouble, minMatchNum, minMatchDen, k1, b)
   }
+
+  /** Row-level term pushdown beside the partition-level bucket pruning:
+    * the distinct query terms are a bounded driver list (the same class as
+    * the bucket collect), and an `isin` on the scan column reaches parquet
+    * as PushedFilters — row groups and dictionary pages without any query
+    * term are skipped entirely, where the bare bucket filter still scanned
+    * every row of every touched bucket. Semantics-free: the inner probe
+    * join on `term` would drop those rows anyway. Skipped above 1000
+    * distinct terms to keep the predicate tree bounded (the prune then
+    * rides on buckets alone, the previous behavior).
+    */
+  private def termPushdown(pruned: DataFrame, qt: DataFrame): DataFrame =
+    termPushdown(pruned, collectTerms(qt))
+
+  private def collectTerms(qt: DataFrame): Array[String] =
+    qt.select("term").distinct().limit(1001).collect().map(_.getString(0))
+
+  private def termPushdown(pruned: DataFrame, terms: Array[String]): DataFrame =
+    if (terms.length > 1000) pruned
+    else pruned.filter(col("term").isin(terms.toIndexedSeq: _*))
 
   // ------------------------------------------------------- segmented index
 
@@ -136,9 +157,12 @@ object RetrievalIndexJob {
     val buckets = qt.select(bucketOf(nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted
     val bucketIds = buckets.map(Integer.valueOf)
+    val qtTerms = collectTerms(qt) // once — shared by every segment read
     def pruned(sub: String): DataFrame =
-      spark.read.parquet(s"$outDir/segments/$sub")
-        .filter(col("bucket").isin(bucketIds: _*))
+      termPushdown(
+        spark.read.parquet(s"$outDir/segments/$sub")
+          .filter(col("bucket").isin(bucketIds: _*)),
+        qtTerms)
     val dfGlobal = segments.map(s => pruned(s"$s/terms"))
       .reduce(_ unionByName _)
       .join(broadcast(qt.select("term").distinct()), Seq("term"))

@@ -86,6 +86,25 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(math.abs(got("B") - 0.7125) < 1e-12)
   }
 
+  test("pageRank: driver fast path matches the distributed rounds within 1e-12") {
+    import spark.implicits._
+    // duplicate edges are deliberate: both paths must count them in
+    // out-degree AND contributions
+    val edges = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+      ("D", "A")).toDF("src_host", "dst_host")
+    val fast = LinkGraph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.conf.set("spark.graft.pagerank.localMaxEdges", "0")
+    val dist =
+      try LinkGraph.pageRank(edges, iters = 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      finally spark.conf.unset("spark.graft.pagerank.localMaxEdges")
+    assert(fast.keySet == dist.keySet)
+    fast.keySet.foreach { h =>
+      assert(math.abs(fast(h) - dist(h)) < 1e-12, s"host $h: ${fast(h)} vs ${dist(h)}")
+    }
+  }
+
   test("pageRank: zero iterations returns the uniform vector; empty graph is empty") {
     import spark.implicits._
     val edges = Seq(("A", "B")).toDF("src_host", "dst_host")

@@ -41,6 +41,15 @@ class RetrievalIndexJobSpec extends AnyFunSuite {
     assert(pruned.count() < total)
   }
 
+  test("search pushes the query-term list into the postings scan (PushedFilters In(term))") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bm25_spec_tp").toString
+    RetrievalIndexJob.build(spark, corpus, "doc_id", "text", out, nBuckets = 16)
+    val plan = RetrievalIndexJob.search(spark, out, queries, 1, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(term"),
+      s"expected the distinct query terms as a row-level pushed filter in:\n$plan")
+  }
+
   test("persisted pruned path equals the in-memory index bit-for-bit at 4dp") {
     val out = java.nio.file.Files.createTempDirectory("graft_bm25_spec2").toString
     RetrievalIndexJob.build(spark, corpus, "doc_id", "text", out, nBuckets = 16)
