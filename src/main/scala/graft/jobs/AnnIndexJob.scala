@@ -67,6 +67,10 @@ object AnnIndexJob {
         (Similarity.nearestCell(v, bc.value), id, v) // the shared cell rule
       }
       .toDF("cell", "vec_id", "embedding")
+      // cluster by the partition column before the write (guide §6): one
+      // file per cell instead of tasks × cells small files — a probed
+      // query opens nProbe files, not nProbe × tasks
+      .repartition(nCells, col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$outDir/cells")
     index
   }

@@ -99,6 +99,10 @@ object DedupIndexJob {
     snapshot
       .select(shaOf(textCol).as("sha")).distinct()
       .withColumn("bucket", bucketOf(col("sha"), nBuckets))
+      // cluster by the partition column before the write (guide §6): one
+      // file per bucket instead of tasks × buckets small files — the bloom
+      // pass and every pruned probe read open |buckets| files, not 512
+      .repartition(nBuckets, col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(s"$outDir/hashes")
     // second pass over the COMPACT artifact, not the snapshot: count sizes
     // the blooms, then one partial-aggregated pass builds them

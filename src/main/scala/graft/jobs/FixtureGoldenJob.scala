@@ -3,7 +3,7 @@ package graft.jobs
 import graft.core.{Rx, Span, Tokenizers}
 import graft.engine.{FeatureFrame, Ingest, LabelDef, Merge, Scorer}
 import graft.sources.FixtureProject
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** E9 composed train→extract golden over the reference's FROZEN fixture
   * corpus (tests/trainer/test_information_extraction.py:78-186): tokenize
@@ -149,51 +149,39 @@ object FixtureGoldenJob {
   def extract(spark: SparkSession, model: TrainScorerJob.FittedK,
       labelDefs: Map[String, LabelDef], root: String = DefaultRoot,
       docId: String = ExtractId): Vector[ExtractedTuple] = {
-    import spark.implicits._
-    val bcModel = spark.sparkContext.broadcast(model)
-    val bcThresholds = spark.sparkContext.broadcast(
-      labelDefs.view.mapValues(_.threshold).toMap)
-    val bcTypes = spark.sparkContext.broadcast(
-      labelDefs.view.mapValues(_.dataType).toMap)
-    try spark
-      .createDataset(spark.sparkContext.parallelize(Seq(docId), 1))
-      .mapPartitions(_.flatMap { id =>
-        val doc = FixtureProject.loadDoc(root, id)
-        val (_, frame) = frameOf(doc)
-        val m = bcModel.value
-        val thresholds = bcThresholds.value
-        val types = bcTypes.value
-        val noLabelIdx = m.classes.indexOf(NoLabel)
-        val scored = frame.flatMap { r =>
-          val p = TrainScorerJob.predictProba(m, r.features)
-          var best = -1
-          var k = 0
-          while (k < p.length) {
-            if (k != noLabelIdx && (best < 0 || p(k) > p(best))) best = k
-            k += 1
-          }
-          if (best < 0) None
-          else {
-            val label = m.classes(best)
-            val conf = p(best)
-            if (conf >= thresholds.getOrElse(label, 0.1))
-              Some(Scorer.Scored(Span(r.start, r.end), label, conf, r.offsetString))
-            else None
-          }
-        }
-        Merge
-          .mergeHorizontal(doc.text, scored, 0.0, l => types.getOrElse(l, "Text"))
-          .map(s => ExtractedTuple(s.label, s.span.start, s.span.end,
-            doc.text.substring(s.span.start, s.span.end), s.confidence))
-      })
-      .collect()
+    // Driver-local: inference over ONE fixture document is a pure function
+    // of (model, doc) — the previous 1-partition Spark job + three
+    // broadcasts was pure scheduling overhead around the same arithmetic.
+    // (Corpus-scale inference broadcasts the model and maps partitions —
+    // engine/Scorer's path; this is the single-golden-doc surface.)
+    val thresholds = labelDefs.view.mapValues(_.threshold).toMap
+    val types = labelDefs.view.mapValues(_.dataType).toMap
+    val doc = FixtureProject.loadDoc(root, docId)
+    val (_, frame) = frameOf(doc)
+    val noLabelIdx = model.classes.indexOf(NoLabel)
+    val scored = frame.flatMap { r =>
+      val p = TrainScorerJob.predictProba(model, r.features)
+      var best = -1
+      var k = 0
+      while (k < p.length) {
+        if (k != noLabelIdx && (best < 0 || p(k) > p(best))) best = k
+        k += 1
+      }
+      if (best < 0) None
+      else {
+        val label = model.classes(best)
+        val conf = p(best)
+        if (conf >= thresholds.getOrElse(label, 0.1))
+          Some(Scorer.Scored(Span(r.start, r.end), label, conf, r.offsetString))
+        else None
+      }
+    }
+    Merge
+      .mergeHorizontal(doc.text, scored, 0.0, l => types.getOrElse(l, "Text"))
+      .map(s => ExtractedTuple(s.label, s.span.start, s.span.end,
+        doc.text.substring(s.span.start, s.span.end), s.confidence))
       .toVector
       .sortBy(t => (t.start, t.end, t.label))
-    finally {
-      // broadcast hygiene: a long-lived JVM sweeping hyperparameters would
-      // otherwise accumulate one un-freed broadcast per call
-      bcModel.destroy(); bcThresholds.destroy(); bcTypes.destroy()
-    }
   }
 
   // one composed run per JVM: the spec, q49 and the bench share the model

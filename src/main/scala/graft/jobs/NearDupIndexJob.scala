@@ -70,13 +70,17 @@ object NearDupIndexJob {
     import spark.implicits._
     val sigs = Dedup.signatures(corpus, shingleK, numPerm, bands).persist()
     try {
+      // cluster by the partition column before each write (guide §6): one
+      // file per bucket instead of tasks × buckets small files
       sigs.flatMap(s => s.bands.map(b => (b, s.id)))
         .toDF("bkey", "id")
         .withColumn("bucket", bucketOf(col("bkey"), nBuckets))
+        .repartition(nBuckets, col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("bucket")
         .parquet(s"$outDir/bands")
       sigs.map(s => (s.id, s.sig)).toDF("id", "sig")
         .withColumn("sbucket", bucketOf(col("id"), nBuckets))
+        .repartition(nBuckets, col("sbucket"))
         .write.mode(SaveMode.Overwrite).partitionBy("sbucket")
         .parquet(s"$outDir/sigs")
       val nDocs = spark.read.parquet(s"$outDir/sigs").count()

@@ -48,6 +48,11 @@ object RetrievalIndexJob {
     idx.postings
       .join(idx.termStats, Seq("term"))
       .withColumn("bucket", bucketOf(nBuckets))
+      // cluster by the partition column before the write: without it every
+      // task writes a file into every bucket directory (tasks × buckets
+      // small files — guide §6's small-file trap); with it each bucket is
+      // one file and the pruned search opens |touched buckets| files
+      .repartition(nBuckets, col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/postings")
     Seq((idx.nDocs, idx.totalTerms, nBuckets))
@@ -65,13 +70,31 @@ object RetrievalIndexJob {
     // materialized once: the tiny term set feeds the bucket collect, the
     // term-pushdown list AND the probe join
     val qt = Retrieval.queryTerms(queries).localCheckpoint(true)
-    val buckets = qt.select(bucketOf(nBuckets).as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val (buckets, terms) = collectTermBuckets(qt, nBuckets)
     val pruned = spark.read.parquet(s"$outDir/postings")
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
     Retrieval.scoreMatched(
-      termPushdown(pruned, qt).join(broadcast(qt), Seq("term")),
+      termPushdown(pruned, terms).join(broadcast(qt), Seq("term")),
       nDocs, totalTerms.toDouble / nDocs.toDouble, minMatchNum, minMatchDen, k1, b)
+  }
+
+  /** ONE driver read of the (bounded) distinct query terms serves both
+    * prune surfaces: the term's bucket id (computed with the SAME Spark
+    * xxhash64 expression as the build — never a reimplementation) for the
+    * partition filter, and the term string itself for row-level pushdown.
+    */
+  private def collectTermBuckets(qt: DataFrame, nBuckets: Int): (Array[Int], Option[Array[String]]) = {
+    // bounded probe: ≤ 1000 distinct terms come back whole (both prune
+    // lists complete in one job); the 1001st row proves the term set is
+    // too large for row-level pushdown, and the collect falls back to the
+    // ≤ nBuckets distinct-bucket list (the always-bounded surface)
+    val rows = qt.select(col("term"), bucketOf(nBuckets).as("b")).distinct()
+      .limit(1001).collect()
+    if (rows.length <= 1000)
+      (rows.map(_.getInt(1)).distinct.sorted, Some(rows.map(_.getString(0)).distinct))
+    else
+      (qt.select(bucketOf(nBuckets).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted, None)
   }
 
   /** Row-level term pushdown beside the partition-level bucket pruning:
@@ -84,15 +107,8 @@ object RetrievalIndexJob {
     * distinct terms to keep the predicate tree bounded (the prune then
     * rides on buckets alone, the previous behavior).
     */
-  private def termPushdown(pruned: DataFrame, qt: DataFrame): DataFrame =
-    termPushdown(pruned, collectTerms(qt))
-
-  private def collectTerms(qt: DataFrame): Array[String] =
-    qt.select("term").distinct().limit(1001).collect().map(_.getString(0))
-
-  private def termPushdown(pruned: DataFrame, terms: Array[String]): DataFrame =
-    if (terms.length > 1000) pruned
-    else pruned.filter(col("term").isin(terms.toIndexedSeq: _*))
+  private def termPushdown(pruned: DataFrame, terms: Option[Array[String]]): DataFrame =
+    terms.fold(pruned)(ts => pruned.filter(col("term").isin(ts.toIndexedSeq: _*)))
 
   // ------------------------------------------------------- segmented index
 
@@ -115,10 +131,12 @@ object RetrievalIndexJob {
     val idx = Retrieval.buildIndex(docs, idCol, textCol)
     idx.postings
       .withColumn("bucket", bucketOf(nBuckets))
+      .repartition(nBuckets, col("bucket")) // one file per bucket (see build)
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/segments/$segment/postings")
     idx.termStats
       .withColumn("bucket", bucketOf(nBuckets))
+      .repartition(nBuckets, col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$outDir/segments/$segment/terms")
     Seq((segment, idx.nDocs, idx.totalTerms, nBuckets))
@@ -154,10 +172,8 @@ object RetrievalIndexJob {
     val totalTerms = metas.map(_.getAs[Long]("total_terms")).sum
     val segments = metas.map(_.getAs[String]("segment")).sorted
     val qt = Retrieval.queryTerms(queries).localCheckpoint(true)
-    val buckets = qt.select(bucketOf(nBuckets).as("b")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val (buckets, qtTerms) = collectTermBuckets(qt, nBuckets) // once — all segments share
     val bucketIds = buckets.map(Integer.valueOf)
-    val qtTerms = collectTerms(qt) // once — shared by every segment read
     def pruned(sub: String): DataFrame =
       termPushdown(
         spark.read.parquet(s"$outDir/segments/$sub")
