@@ -80,6 +80,75 @@ object BenchExtra {
         }
         .toDF("l_orderkey", "l_linenumber", "label", "span_text", "norm_num", "norm_str"))
 
+    // ---- q59 stage isolation: time cumulative prefixes of the composed
+    // pipeline so the expensive stage names itself (each timing uses the
+    // declared query code path via SparkEntry where possible)
+    def timeOnce(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[extra] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s (1 run)")
+    }
+    timeOnce("q59.full")(
+      graft.SparkEntry.queries("q59_llm_pipeline")(spark, sfDir).count())
+    timeOnce("q59.full(2nd)")(
+      graft.SparkEntry.queries("q59_llm_pipeline")(spark, sfDir).count())
+    // stage replica with timers at each eager boundary (mirrors the q59
+    // definition; the declared query is untouched)
+    locally {
+      import spark.implicits._
+      import graft.engine.{Dedup, Extraction, PageRow, Redact}
+      val t00 = System.nanoTime()
+      def mark(l: String, t0: Long): Long = {
+        println(f"[extra] q59.stage.$l%-33s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        System.nanoTime()
+      }
+      val pages = t("documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (i, text) =>
+          val key = if (i % 10 == 9) i - 1 else i
+          val scheme = if (i % 2 == 0) "HTTPS" else "https"
+          val qs = if (i % 3 == 0) "?utm_source=feed&x=1" else "?x=1"
+          val url = s"$scheme://Site${key % 7}.Example.com/d$key$qs"
+          val page =
+            if (i % 17 == 0)
+              "CORPUS HEADER\nshared duplicate page body here words repeated\n" +
+                "contact dup@dup.com now\nFooter X"
+            else if (i % 13 >= 1 && i % 13 <= 3) {
+              val a = i - (i % 13) + 1
+              val body = (0 until 120).map(j => s"u${a}x$j")
+                .grouped(8).map(_.mkString(" ")).mkString("\n")
+              s"CORPUS HEADER\n$body\nvariant v${i % 13}\n" +
+                s"contact user$a@mail${a % 5}.com now\nFooter ${i % 10}"
+            } else {
+              val body = text.split(" ", -1).grouped(8).map(_.mkString(" ")).mkString("\n")
+              s"CORPUS HEADER\n$body\ncontact user$i@mail${i % 5}.com now\nFooter ${i % 10}"
+            }
+          (i, graft.core.UrlOps.canonicalize(url), page)
+        })
+        .toDF("doc_id", "canon_url", "page_text")
+      val s1 = Dedup.keepFirstBy(pages, "doc_id", col("canon_url"))
+      val s2 = Dedup.keepFirstBy(s1, "doc_id", md5(col("page_text")))
+      val s2cp = s2.localCheckpoint(true)
+      var tm = mark("construct+2dedup+checkpoint", t00)
+      val s3 = Dedup.dedupNearText(s2cp, "doc_id", "page_text",
+        threshold = 0.85, maxBucket = 48)
+      tm = mark("neardedup", tm)
+      val bench = t("documents")
+        .filter(col("doc_id") % 25 === 0 && size(split(col("text"), " ")) >= 13)
+        .select(array_join(slice(split(col("text"), " "), 1, 13), " ").as("gram"))
+      val contaminated = Dedup.contaminatedDocs(s3, "doc_id", "page_text", bench)
+      val clean = s3.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      tm = mark("decontaminate+checkpoint", tm)
+      val deduped = Dedup.dedupLines(clean, "doc_id", "page_text")
+      val n = deduped.select(col("doc_id"), col("page_text")).as[(Long, String)]
+        .mapPartitions(_.map { case (i, txt) =>
+          val (_, nTok, sha) = Extraction.extractTextStats(
+            PageRow(i.toString, null, Array.empty[Byte], Redact.redactPII(txt), ""))
+          (i, nTok.toLong, sha)
+        }).toDF("doc_id", "n_tokens", "text_sha256").count()
+      tm = mark(s"linededup+redact+stats(n=$n)", tm)
+    }
+
     spark.stop()
   }
 }
