@@ -761,6 +761,54 @@ object Dedup {
 
   final case class ClusterResult(assignment: DataFrame, iterations: Int)
 
+  /** Edge-count gate below which [[resolveClustersDetailed]] collects the
+    * canonical edge set and resolves components with a driver-side
+    * union-find instead of iterating distributed rounds. The assignment is
+    * IDENTICAL (component minimum as keeper) — this is purely an execution
+    * strategy choice: each Kiveris round costs two shuffles plus two
+    * actions of fixed latency, so a bounded pair graph (the normal output
+    * of capped-bucket candidate generation) pays ~10 rounds of scheduling
+    * overhead to move a few MB. 4M edges ≈ 64 MB collected — the same
+    * justified-bounded-collect class as broadcast build sides; above the
+    * gate the distributed rounds run unchanged (the arbitrary-scale path).
+    * Tunable via `spark.graft.cc.localMaxEdges` (0 disables the fast path).
+    */
+  private def ccLocalMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localMaxEdges").map(_.toLong).getOrElse(4000000L)
+
+  /** Driver-side union-find over canonical (u > v) edges: returns every
+    * node mapped to its component minimum — the same fixed point the
+    * large-star/small-star rounds converge to (roots only ever shrink:
+    * unions attach the larger root under the smaller, so the final root
+    * of a component is its minimum node).
+    */
+  private[engine] def unionFindAssignment(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      // path compression
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        // union by MIN root: the keeper contract is the component minimum
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { case (u, v) => nodes.add(u); nodes.add(v) }
+    val out = new Array[(Long, Long)](nodes.size)
+    var i = 0
+    val it = nodes.iterator()
+    while (it.hasNext) { val n = it.next().longValue(); out(i) = (n, find(n)); i += 1 }
+    out
+  }
+
   /** Connected-component resolution over a near-duplicate pair graph — the
     * stage that turns pair emission ([[minhashNearDups]] /
     * [[simhashNearDups]] / [[embeddingNearDups]]) into an actual
@@ -797,54 +845,9 @@ object Dedup {
     *
     * Returns (id, keeper_id) for every node that appears in a pair;
     * isolated documents never enter the graph and implicitly keep
-    * themselves ([[dedupNear]] relies on that).
+    * themselves ([[dedupNear]] relies on that). Bounded graphs take the
+    * [[unionFindAssignment]] driver fast path (see [[ccLocalMaxEdges]]).
     */
-  /** Edge-count gate below which [[resolveClustersDetailed]] collects the
-    * canonical edge set and resolves components with a driver-side
-    * union-find instead of iterating distributed rounds. The assignment is
-    * IDENTICAL (component minimum as keeper) — this is purely an execution
-    * strategy choice: each Kiveris round costs two shuffles plus two
-    * actions of fixed latency, so a bounded pair graph (the normal output
-    * of capped-bucket candidate generation) pays ~10 rounds of scheduling
-    * overhead to move a few MB. 4M edges ≈ 64 MB collected — the same
-    * justified-bounded-collect class as broadcast build sides; above the
-    * gate the distributed rounds run unchanged (the arbitrary-scale path).
-    * Tunable via `spark.graft.cc.localMaxEdges` (0 disables the fast path).
-    */
-  private def ccLocalMaxEdges(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.cc.localMaxEdges").map(_.toLong).getOrElse(4000000L)
-
-  /** Driver-side union-find over canonical (u > v) edges: returns every
-    * node mapped to its component minimum — the same fixed point the
-    * large-star/small-star rounds converge to.
-    */
-  private[engine] def unionFindAssignment(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
-    def find(x: Long): Long = {
-      var r = x
-      var p = parent.getOrDefault(r, r)
-      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
-      // path compression
-      var c = x
-      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
-      r
-    }
-    edges.foreach { case (u, v) =>
-      val ru = find(u); val rv = find(v)
-      if (ru != rv) {
-        // union by MIN root: the keeper contract is the component minimum
-        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
-      }
-    }
-    val nodes = new java.util.TreeSet[java.lang.Long]()
-    edges.foreach { case (u, v) => nodes.add(u); nodes.add(v) }
-    val out = new Array[(Long, Long)](nodes.size)
-    var i = 0
-    val it = nodes.iterator()
-    while (it.hasNext) { val n = it.next().longValue(); out(i) = (n, find(n)); i += 1 }
-    out
-  }
-
   def resolveClustersDetailed(pairs: Dataset[Pair], maxIterations: Int = 30): ClusterResult = {
     val spark = pairs.sparkSession
     def sig(df: DataFrame): (Long, Long) = {

@@ -71,6 +71,10 @@ object Pack {
       rdd.mapPartitionsWithIndex { (pid, it) =>
         var running = bOffsets.value(pid)
         it.map { row =>
+          // loud on a null id (the typed decode this path replaced threw;
+          // InternalRow.getLong would silently read 0)
+          if (row.isNullAt(0)) throw new IllegalArgumentException(
+            "chunkAssign: null id (idCol must be non-null)")
           val id = row.getLong(0)
           val t = row.getLong(1)
           val start = running
@@ -203,6 +207,9 @@ object Pack {
       rdd.mapPartitionsWithIndex { (pid, it) =>
         var rank = bOffsets.value(pid)
         it.map { row =>
+          // loud on a null id (see chunkAssign)
+          if (row.isNullAt(0)) throw new IllegalArgumentException(
+            "shardAssign: null id (idCol must be non-null)")
           val id = row.getLong(0)
           val key = row.getLong(1)
           val r = rank
