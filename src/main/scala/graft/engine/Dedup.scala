@@ -768,13 +768,17 @@ object Dedup {
     * strategy choice: each Kiveris round costs two shuffles plus two
     * actions of fixed latency, so a bounded pair graph (the normal output
     * of capped-bucket candidate generation) pays ~10 rounds of scheduling
-    * overhead to move a few MB. 4M edges ≈ 64 MB collected — the same
-    * justified-bounded-collect class as broadcast build sides; above the
+    * overhead to move a few MB. Sizing is accounted at the JVM's real
+    * cost, not the raw tuple bytes: union-find builds boxed
+    * HashMap/TreeSet structures of roughly 200–300 bytes per edge
+    * worst-case, so the 1M-edge default bounds the transient driver heap
+    * at a few hundred MB — the justified-bounded-collect class. Above the
     * gate the distributed rounds run unchanged (the arbitrary-scale path).
-    * Tunable via `spark.graft.cc.localMaxEdges` (0 disables the fast path).
+    * Tunable via `spark.graft.cc.localMaxEdges` (0 disables the fast
+    * path; size any increase against driver heap, not tuple bytes).
     */
   private def ccLocalMaxEdges(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.cc.localMaxEdges").map(_.toLong).getOrElse(4000000L)
+    spark.conf.getOption("spark.graft.cc.localMaxEdges").map(_.toLong).getOrElse(1000000L)
 
   /** Driver-side union-find over canonical (u > v) edges: returns every
     * node mapped to its component minimum — the same fixed point the
@@ -783,7 +787,9 @@ object Dedup {
     * of a component is its minimum node).
     */
   private[engine] def unionFindAssignment(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    // clamp the capacity hint: a raised gate could push length*2 past Int
+    val parent = new java.util.HashMap[Long, Long](
+      math.min(edges.length.toLong * 2, (Int.MaxValue - 8).toLong).toInt)
     def find(x: Long): Long = {
       var r = x
       var p = parent.getOrDefault(r, r)

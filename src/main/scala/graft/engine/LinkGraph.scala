@@ -106,18 +106,23 @@ object LinkGraph {
     // latency, which dominates wall time on bounded graphs (host graphs
     // are ~|hosts| rows). The probe either returns the WHOLE edge list
     // (≤ gate) or the overflow row sends us to the distributed rounds.
-    // Float caveat: contribution-sum order differs from the distributed
-    // aggregation's (itself partition-nondeterministic) — both sit ~1e-13
-    // from each other, far inside the 6-decimal grid every consumer of
-    // pageRank emits at (the same cross-engine tolerance the DuckDB
-    // oracle replay already absorbs).
+    // The 256k default is sized at the JVM's real cost of an edge row —
+    // two String objects plus map/array overhead, ~200+ bytes — so the
+    // transient driver heap stays double-digit MB; host columns must be
+    // strings (hostEdges' output), and a graph carrying ANY null host
+    // falls through to the distributed path (whose outer-join null
+    // semantics are the contract there). Float caveat: contribution-sum
+    // order differs from the distributed aggregation's (itself
+    // partition-nondeterministic) — both sit ~1e-13 from each other, far
+    // inside the 6-decimal grid every consumer of pageRank emits at (the
+    // same cross-engine tolerance the DuckDB oracle replay absorbs).
     val gate = spark.conf.getOption("spark.graft.pagerank.localMaxEdges")
-      .map(_.toLong).getOrElse(4000000L)
+      .map(_.toLong).getOrElse(262144L)
     if (gate > 0 && gate <= Int.MaxValue - 1) {
       import spark.implicits._
       val probe = edges.select(col("src_host").cast("string"), col("dst_host").cast("string"))
         .as[(String, String)].limit(gate.toInt + 1).collect()
-      if (probe.length <= gate) {
+      if (probe.length <= gate && probe.forall(p => p._1 != null && p._2 != null)) {
         val hosts = (probe.iterator.map(_._1) ++ probe.iterator.map(_._2))
           .toArray.distinct.sorted
         val n = hosts.length

@@ -148,9 +148,12 @@ object NaiveBayes {
     val spark = df.sparkSession
     val bm = spark.sparkContext.broadcast(model)
     val scoreUdf = udf { (text: String) => scoreOne(bm.value, text) }
-    df.withColumn("__nb", scoreUdf(col(textCol)))
-      .withColumn(predCol, col("__nb._1"))
-      .withColumn(scoreCol, col("__nb._2"))
-      .drop("__nb")
+    // temp column name that cannot clobber a caller's column
+    var tmp = "__nb"
+    while (df.columns.contains(tmp)) tmp += "_"
+    df.withColumn(tmp, scoreUdf(col(textCol)))
+      .withColumn(predCol, col(s"$tmp._1"))
+      .withColumn(scoreCol, col(s"$tmp._2"))
+      .drop(tmp)
   }
 }

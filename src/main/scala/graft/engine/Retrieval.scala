@@ -103,8 +103,14 @@ object Retrieval {
     // postings build) into the ONE pass the checkpoint materializes —
     // totalTerms = Σ tf is read back from the checkpointed postings.
     val postings = base
-      .as[(Long, Seq[String])]
-      .mapPartitions(_.flatMap { case (id, terms) =>
+      .as[(java.lang.Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (boxedId, terms) =>
+        // loud contract: ids must be non-null and castable to long (the
+        // old explode+groupBy silently grouped a null id; an index keyed
+        // on null is a caller bug either way)
+        if (boxedId == null) throw new IllegalArgumentException(
+          "Retrieval.buildIndex: null id (idCol must be non-null and castable to long)")
+        val id = boxedId.longValue()
         val dl = terms.length
         val tf = new java.util.LinkedHashMap[String, Long]()
         terms.foreach(t => tf.merge(t, 1L, (a, b) => a + b))

@@ -56,11 +56,11 @@ object KernelProfile {
       graft.core.Html.extract(graft.core.Html.decodeBytes(p.html)))
     val texts = pages.map(p => graft.core.Html.extract(graft.core.Html.decodeBytes(p.html)).text)
     corpusTime("headline.tokenize+score(real)") { p =>
-      val t = texts((p.url.hashCode.abs % 2000))
+      val t = texts(Math.floorMod(p.url.hashCode, 2000))
       Scorer.scorePacked(t, Rx.whitespaceTokensPacked(t))
     }
     corpusTime("headline.simhash(real)")(p =>
-      graft.core.Fingerprint.simhash64(texts(p.url.hashCode.abs % 2000)))
+      graft.core.Fingerprint.simhash64(texts(Math.floorMod(p.url.hashCode, 2000))))
     corpusTime("headline.tokenize")(p => Rx.whitespaceTokensPacked(p.text))
     corpusTime("headline.score") { p =>
       Scorer.scorePacked(p.text, Rx.whitespaceTokensPacked(p.text))
